@@ -1,0 +1,117 @@
+"""Pinhole (OpenCV-convention) camera intrinsics and crop cameras.
+
+Rebuilds the ``CvCamera`` surface of SciGL.jl that the reference uses
+(/root/reference/test/posterior_model.jl:22, /root/reference/src/ParticleFilter.jl:219-229,
+crop cameras at /root/reference/src/RenderContext.jl:21-28).
+
+Convention: x right, y down, z forward (OpenCV). A 3D point ``p`` in camera
+coordinates projects to pixel ``u = fx*x/z + s*y/z + cx``, ``v = fy*y/z + cy``.
+Pixel (0, 0) is the top-left pixel center.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import jax.numpy as jnp
+
+__all__ = ["CvCamera", "crop_camera", "reproject_3d", "depth_to_distance"]
+
+
+@dataclass(frozen=True)
+class CvCamera:
+    """OpenCV-style pinhole intrinsics (static, hashable -> jit-friendly)."""
+
+    width: int
+    height: int
+    f_x: float
+    f_y: float
+    c_x: float
+    c_y: float
+    s: float = 0.0  # skew
+    near: float = 0.01
+    far: float = 100.0
+
+    def intrinsic_matrix(self, dtype=jnp.float32):
+        return jnp.asarray(
+            [
+                [self.f_x, self.s, self.c_x],
+                [0.0, self.f_y, self.c_y],
+                [0.0, 0.0, 1.0],
+            ],
+            dtype=dtype,
+        )
+
+    def scale_to(self, width: int, height: int) -> "CvCamera":
+        """Rescale the intrinsics to a different image resolution."""
+        sx = width / self.width
+        sy = height / self.height
+        return replace(
+            self,
+            width=width,
+            height=height,
+            f_x=self.f_x * sx,
+            f_y=self.f_y * sy,
+            c_x=(self.c_x + 0.5) * sx - 0.5,
+            c_y=(self.c_y + 0.5) * sy - 0.5,
+            s=self.s * sx,
+        )
+
+
+def crop_camera(camera: CvCamera, center_3d, diameter: float, scale: float = 1.5,
+                width: int | None = None, height: int | None = None) -> CvCamera:
+    """Camera that views a square crop of ``scale * diameter`` around the
+    projected ``center_3d``, rendered at (width, height).
+
+    Parity: SciGL's ``crop``/``crop_camera`` used at
+    /root/reference/src/RenderContext.jl:21-28 and PoseErrors' ``crop_camera``.
+    The crop is realized purely through intrinsics (principal-point shift +
+    focal rescale) so the renderer needs no special casing.
+    """
+    width = camera.width if width is None else width
+    height = camera.height if height is None else height
+    x, y, z = float(center_3d[0]), float(center_3d[1]), float(center_3d[2])
+    # projected center in the original image
+    u0 = camera.f_x * x / z + camera.s * y / z + camera.c_x
+    v0 = camera.f_y * y / z + camera.c_y
+    # crop box side length in source pixels: object of `scale*diameter` meters at depth z
+    side_x = camera.f_x * scale * diameter / z
+    side_y = camera.f_y * scale * diameter / z
+    left = u0 - side_x / 2
+    top = v0 - side_y / 2
+    sx = width / side_x
+    sy = height / side_y
+    return CvCamera(
+        width=width,
+        height=height,
+        f_x=camera.f_x * sx,
+        f_y=camera.f_y * sy,
+        c_x=(camera.c_x - left) * sx,
+        c_y=(camera.c_y - top) * sy,
+        s=camera.s * sx,
+        near=camera.near,
+        far=camera.far,
+    )
+
+
+def reproject_3d(u, v, z, camera: CvCamera):
+    """Pixel (u, v) at depth z -> 3D point in camera coordinates.
+
+    Parity: PoseErrors' ``reproject_3D`` used by ``point_from_segmentation``
+    (/root/reference/src/ExperimentModels.jl:22-39)."""
+    y = (v - camera.c_y) * z / camera.f_y
+    x = (u - camera.c_x - camera.s * y / camera.f_x) * z / camera.f_x
+    return x, y, z
+
+
+def depth_to_distance(depth_img, camera: CvCamera):
+    """Convert a z-depth image to a ray-distance image (PoseErrors parity,
+    used for BOP18 VSD at /root/reference/src/Evaluation.jl:56-58)."""
+    h, w = depth_img.shape[-2], depth_img.shape[-1]
+    u = jnp.arange(w, dtype=depth_img.dtype)
+    v = jnp.arange(h, dtype=depth_img.dtype)
+    uu, vv = jnp.meshgrid(u, v)
+    x = (uu - camera.c_x) / camera.f_x
+    y = (vv - camera.c_y) / camera.f_y
+    scale = jnp.sqrt(x * x + y * y + 1.0)
+    return depth_img * scale
