@@ -68,7 +68,9 @@ def _register(cls):
 
 
 def _bshape(*args):
-    return jnp.broadcast_shapes(*(jnp.shape(a) for a in args))
+    import numpy as _np
+
+    return jnp.broadcast_shapes(*(_np.shape(a) for a in args))
 
 
 def broadcast_shape_of(dist) -> tuple:

@@ -1,0 +1,219 @@
+"""Posterior and prior factories — the user-facing model constructors.
+
+Parity target: /root/reference/src/ExperimentModels.jl — ``point_prior``
+(:9-15), ``point_from_segmentation`` (:22-39), and the five posterior
+variants ``simple_posterior`` (:48-56), ``association_posterior`` (:66-75),
+``association_simple_reg`` (:84-92), ``smooth_posterior`` (:102-112),
+``smooth_simple_reg`` (:121-129), ``smooth_simple_posterior`` (:138-146).
+
+Each factory wires prior nodes, the render node μ(t, r), an association node
+o, the per-pixel mixture likelihood z (reduced over pixels), and an image
+regularizer into a PosteriorModel. On TPU the whole thing compiles to one XLA
+program per density evaluation; the per-pixel math runs fused with the
+rasterizer output.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..camera import reproject_3d
+from ..distributions import Dirac, Normal, QuaternionUniform
+from ..graph import BroadcastedNode, DeterministicNode, ModifierNode
+from ..posterior import PosteriorModel
+from ..render import render_context, render_fn
+from .pixel import (
+    image_likelihood_normalizer,
+    pixel_association_fn,
+    pixel_mixture,
+    simple_image_regularization,
+    smooth_association_fn,
+    smooth_mixture,
+)
+
+__all__ = [
+    "point_prior",
+    "point_from_segmentation",
+    "simple_posterior",
+    "association_posterior",
+    "association_simple_reg",
+    "smooth_posterior",
+    "smooth_simple_reg",
+    "smooth_simple_posterior",
+]
+
+
+def point_prior(params, experiment):
+    """t ~ Normal(prior_t, σ_t); r ~ QuaternionUniform; μ = render(t, r)
+    (parity: ExperimentModels.jl:9-15). Returns the μ node."""
+    t = BroadcastedNode("t", Normal, jnp.asarray(experiment.prior_t),
+                        jnp.asarray(params.sigma_t))
+    r = BroadcastedNode("r", QuaternionUniform)
+    ctx = render_context(params)
+    mu_fn = partial(render_fn, ctx, experiment.scene)
+    return DeterministicNode("mu", mu_fn, t, r)
+
+
+def point_from_segmentation(bounding_box, depth_image, mask_img, cv_camera):
+    """Bounding-box center + masked median depth -> 3D prior point
+    (parity: ExperimentModels.jl:22-39). Host-side (numpy)."""
+    left, right, top, bottom = bounding_box
+    u = (left + right) / 2.0
+    v = (top + bottom) / 2.0
+    depth = np.asarray(depth_image)
+    mask = np.asarray(mask_img) > 0
+    masked = depth[mask]
+    masked = masked[(masked > 0) & np.isfinite(masked)]
+    if masked.size:
+        z = float(np.median(masked))
+    else:
+        z = float(depth[depth.shape[0] // 2, depth.shape[1] // 2])
+    x, y, z = reproject_3d(u, v, z, cv_camera)
+    return np.asarray([x, y, z], np.float32)
+
+
+def _pixel_reduce_axes():
+    # observation z is [batch..., H, W]; reduce the trailing image dims
+    return (-2, -1)
+
+
+def _conditioned(z_node, experiment):
+    return z_node | experiment.depth_image
+
+
+def _dirac_o_node(params, experiment, mu_node):
+    """Fixed association probability o, broadcast to the render's shape.
+
+    The reference samples a ``KernelDirac`` node here
+    (ExperimentModels.jl:52: 'DeterministicNode does not scale to correct
+    dims for resampling') — that constraint vanishes on TPU because μ/o are
+    recomputed instead of resampled, so a deterministic broadcast is exact
+    and cheaper (Dirac logpdf at its own atom is 0)."""
+    prior_o = jnp.asarray(experiment.prior_o, params.float_type)
+    return DeterministicNode("o", lambda mu: jnp.broadcast_to(prior_o, mu.shape), mu_node)
+
+
+def simple_posterior(params, experiment, mu_node):
+    """Fixed association prior o (Dirac), exponential+uniform tail,
+    SimpleImageRegularization (parity: ExperimentModels.jl:48-56)."""
+    o = _dirac_o_node(params, experiment, mu_node)
+    z = BroadcastedNode(
+        "z",
+        partial(pixel_mixture, params.min_depth, params.max_depth,
+                params.pixel_theta, params.pixel_sigma),
+        mu_node, o,
+    )
+    n_pixels = params.width * params.height
+    z_norm = ModifierNode(
+        _conditioned(z, experiment),
+        lambda ell, values: simple_image_regularization(params.c_reg, ell, n_pixels),
+    )
+    return PosteriorModel(z_norm)
+
+
+def association_posterior(params, experiment, mu_node):
+    """Analytic pixel association + ImageLikelihoodNormalizer
+    (parity: ExperimentModels.jl:66-75)."""
+    o_fn = pixel_association_fn(params)
+    prior_o = jnp.asarray(experiment.prior_o, params.float_type)
+    o = DeterministicNode(
+        "o", lambda mu: o_fn(prior_o, mu, experiment.depth_image), mu_node
+    )
+    z = BroadcastedNode(
+        "z",
+        partial(pixel_mixture, params.min_depth, params.max_depth,
+                params.pixel_theta, params.pixel_sigma),
+        mu_node, o,
+    )
+    z_norm = ModifierNode(
+        _conditioned(z, experiment),
+        lambda ell, values: image_likelihood_normalizer(params.c_reg, ell, values["o"]),
+    )
+    return PosteriorModel(z_norm)
+
+
+def association_simple_reg(params, experiment, mu_node):
+    """Analytic association + SimpleImageRegularization
+    (parity: ExperimentModels.jl:84-92)."""
+    o_fn = pixel_association_fn(params)
+    prior_o = jnp.asarray(experiment.prior_o, params.float_type)
+    o = DeterministicNode(
+        "o", lambda mu: o_fn(prior_o, mu, experiment.depth_image), mu_node
+    )
+    z = BroadcastedNode(
+        "z",
+        partial(pixel_mixture, params.min_depth, params.max_depth,
+                params.pixel_theta, params.pixel_sigma),
+        mu_node, o,
+    )
+    n_pixels = params.width * params.height
+    z_norm = ModifierNode(
+        _conditioned(z, experiment),
+        lambda ell, values: simple_image_regularization(params.c_reg, ell, n_pixels),
+    )
+    return PosteriorModel(z_norm)
+
+
+def smooth_posterior(params, experiment, mu_node):
+    """Smooth (collapsed-Gibbs) association + smooth mixture +
+    ImageLikelihoodNormalizer (parity: ExperimentModels.jl:102-112)."""
+    o_fn = smooth_association_fn(params)
+    prior_o = jnp.asarray(experiment.prior_o, params.float_type)
+    o = DeterministicNode(
+        "o", lambda mu: o_fn(prior_o, mu, experiment.depth_image), mu_node
+    )
+    z = BroadcastedNode(
+        "z",
+        partial(smooth_mixture, params.min_depth, params.max_depth,
+                params.pixel_theta, params.pixel_sigma),
+        mu_node, o,
+    )
+    z_norm = ModifierNode(
+        _conditioned(z, experiment),
+        lambda ell, values: image_likelihood_normalizer(params.c_reg, ell, values["o"]),
+    )
+    return PosteriorModel(z_norm)
+
+
+def smooth_simple_reg(params, experiment, mu_node):
+    """Smooth association + smooth mixture + SimpleImageRegularization
+    (parity: ExperimentModels.jl:121-129)."""
+    o_fn = smooth_association_fn(params)
+    prior_o = jnp.asarray(experiment.prior_o, params.float_type)
+    o = DeterministicNode(
+        "o", lambda mu: o_fn(prior_o, mu, experiment.depth_image), mu_node
+    )
+    z = BroadcastedNode(
+        "z",
+        partial(smooth_mixture, params.min_depth, params.max_depth,
+                params.pixel_theta, params.pixel_sigma),
+        mu_node, o,
+    )
+    n_pixels = params.width * params.height
+    z_norm = ModifierNode(
+        _conditioned(z, experiment),
+        lambda ell, values: simple_image_regularization(params.c_reg, ell, n_pixels),
+    )
+    return PosteriorModel(z_norm)
+
+
+def smooth_simple_posterior(params, experiment, mu_node):
+    """Fixed association prior + pixel mixture + SimpleImageRegularization
+    (parity: ExperimentModels.jl:138-146 — note the reference also uses
+    pixel_mixture here, not smooth_mixture)."""
+    o = _dirac_o_node(params, experiment, mu_node)
+    z = BroadcastedNode(
+        "z",
+        partial(pixel_mixture, params.min_depth, params.max_depth,
+                params.pixel_theta, params.pixel_sigma),
+        mu_node, o,
+    )
+    n_pixels = params.width * params.height
+    z_norm = ModifierNode(
+        _conditioned(z, experiment),
+        lambda ell, values: simple_image_regularization(params.c_reg, ell, n_pixels),
+    )
+    return PosteriorModel(z_norm)

@@ -1,0 +1,241 @@
+"""Streaming particle filters for depth-image pose tracking.
+
+Parity target: /root/reference/src/ParticleFilter.jl — ``coordinate_pf``
+(:16-38, Wüthrich 2015-style block sampling), ``bootstrap_pf`` (:45-61),
+``resize_experiment``/``crop_experiment`` (:63-74), motion prior ``pf_prior``
+with velocity states (:105-115), ``Dynamics`` decayed-velocity +
+constant-acceleration proposals (:143-187), joint ``propose_tr_dyn``
+(:189-213).
+
+TPU-native redesign: the reference rebuilds the posterior per frame in a
+Python loop with per-step GPU sync; here the observed depth image is *traced
+data*, so the whole stream is ONE ``lax.scan`` over frames — the tracker
+compiles once and runs at device speed (the 90 Hz Realsense target of
+/root/reference/scripts/ros_particle_filter.jl:46-49 becomes a single
+program invocation per sequence, or per frame for live streams with no
+recompilation).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .. import quaternions as quat
+from ..distributions import Normal, QuaternionNormal
+from ..graph import BroadcastedNode, DeterministicNode
+from ..samplers import (
+    BootstrapKernel,
+    CoordinateSampler,
+    SequentialMonteCarlo,
+    collect_variables,
+)
+from ..render import render_context, render_fn
+from ..tempering import ConstantSchedule
+
+__all__ = [
+    "pf_prior",
+    "Dynamics",
+    "JointDynamics",
+    "coordinate_pf",
+    "bootstrap_pf",
+    "resize_experiment",
+    "crop_experiment",
+]
+
+
+def pf_prior(params, experiment):
+    """Motion prior with velocity states: t_dot/r_dot ~ N(0, proposal σ),
+    t ~ N(prior_t, σ_t), r ~ QuaternionNormal(prior_r, σ_r); μ = render(t, r)
+    (parity: ParticleFilter.jl:105-115 — velocities enter the graph but not
+    the render function)."""
+    t_dot = BroadcastedNode("t_dot", Normal, jnp.zeros(3), jnp.asarray(params.proposal_sigma_t))
+    r_dot = BroadcastedNode("r_dot", Normal, jnp.zeros(3), jnp.asarray(params.proposal_sigma_r))
+    t = BroadcastedNode("t", Normal, jnp.asarray(experiment.prior_t),
+                        jnp.asarray(params.proposal_sigma_t))
+    r = BroadcastedNode(
+        "r", QuaternionNormal, jnp.asarray(experiment.prior_r),
+        float(params.proposal_sigma_r[0]),
+    )
+    ctx = render_context(params)
+    mu_fn = partial(render_fn, ctx, experiment.scene)
+    # velocities are parents of μ only to join the graph; the render ignores them
+    return DeterministicNode("mu", lambda t, r, td, rd: mu_fn(t, r), t, r, t_dot, r_dot)
+
+
+@dataclass(frozen=True, eq=False)
+class Dynamics:
+    """Decayed-velocity, constant-acceleration proposal for one variable
+    (parity: Dynamics at ParticleFilter.jl:143-187). Symmetric (transition 0).
+
+    name 't': t' = t + t_dot + ½a,  t_dot' = decay·t_dot + a,  a ~ N(0, σ)
+    name 'r': tangent-space equivalent via ⊕.
+    """
+
+    name: str
+    decay: float
+    sigma: Any
+    is_quaternion: bool = False
+
+    @property
+    def names(self):
+        return (self.name, f"{self.name}_dot")
+
+    @property
+    def quaternion_names(self):
+        return (self.name,) if self.is_quaternion else ()
+
+    def propose(self, key, previous, sample_shape=()):
+        from ..samples import Sample
+
+        x = previous.variables[self.name]
+        v = previous.variables[f"{self.name}_dot"]
+        shape = (*sample_shape, *v.shape)
+        acc = jnp.asarray(self.sigma) * jax.random.normal(key, shape, v.dtype)
+        new_v = self.decay * v + acc
+        if self.is_quaternion:
+            new_x = quat.qplus(x, v + 0.5 * acc)
+        else:
+            new_x = x + v + 0.5 * acc
+        out = dict(previous.variables)
+        out[self.name] = new_x
+        out[f"{self.name}_dot"] = new_v
+        return Sample(out)
+
+    def transition_probability(self, new, prev, batch_ndim=1):
+        return jnp.zeros(())
+
+
+@dataclass(frozen=True, eq=False)
+class JointDynamics:
+    """Joint t+r dynamics (parity: propose_tr_dyn at ParticleFilter.jl:189-213,
+    decay hard-coded 0.9 in the reference; configurable here)."""
+
+    sigma_t: Any
+    sigma_r: Any
+    decay: float = 0.9
+
+    names = ("t", "r", "t_dot", "r_dot")
+    quaternion_names = ("r",)
+
+    def propose(self, key, previous, sample_shape=()):
+        from ..samples import Sample
+
+        kt, kr = jax.random.split(key)
+        t = previous.variables["t"]
+        td = previous.variables["t_dot"]
+        r = previous.variables["r"]
+        rd = previous.variables["r_dot"]
+        acc_t = jnp.asarray(self.sigma_t) * jax.random.normal(kt, (*sample_shape, *td.shape), td.dtype)
+        acc_r = jnp.asarray(self.sigma_r) * jax.random.normal(kr, (*sample_shape, *rd.shape), rd.dtype)
+        out = dict(previous.variables)
+        out["t_dot"] = self.decay * td + acc_t
+        out["t"] = t + td + 0.5 * acc_t
+        out["r_dot"] = self.decay * rd + acc_r
+        out["r"] = quat.qplus(r, rd + 0.5 * acc_r)
+        return Sample(out)
+
+    def transition_probability(self, new, prev, batch_ndim=1):
+        return jnp.zeros(())
+
+
+def resize_experiment(experiment, depth_img, width, height):
+    """Resize the observation to the render size (parity: ParticleFilter.jl:70-74).
+    Nearest-neighbor resampling preserving invalid (inf) pixels."""
+    h, w = depth_img.shape
+    vi = (jnp.arange(height) * h // height).astype(jnp.int32)
+    ui = (jnp.arange(width) * w // width).astype(jnp.int32)
+    resized = depth_img[vi[:, None], ui[None, :]]
+    return experiment.with_depth_image(resized)
+
+
+def crop_experiment(experiment, depth_img, t, diameter, width, height):
+    """Crop around the estimate then resize (parity: ParticleFilter.jl:63-68)."""
+    from ..camera import crop_camera
+
+    cam = experiment.scene["camera"]
+    ccam = crop_camera(cam, t, float(diameter), width=width, height=height)
+    # project the crop window back onto the source image: nearest sampling of
+    # the original pixels through the crop intrinsics
+    import numpy as np
+
+    u = (jnp.arange(width) - ccam.c_x) / ccam.f_x
+    v = (jnp.arange(height) - ccam.c_y) / ccam.f_y
+    src_u = jnp.clip((u * cam.f_x + cam.c_x).astype(jnp.int32), 0, depth_img.shape[1] - 1)
+    src_v = jnp.clip((v * cam.f_y + cam.c_y).astype(jnp.int32), 0, depth_img.shape[0] - 1)
+    cropped = depth_img[src_v[:, None], src_u[None, :]]
+    exp = experiment.with_depth_image(cropped)
+    scene = {**experiment.scene, "camera": ccam}
+    object.__setattr__(exp, "scene", scene)
+    return exp
+
+
+def _pf_samplers(params, kind):
+    if kind == "coordinate":
+        t_kernel = BootstrapKernel(Dynamics("t", params.velocity_decay,
+                                            jnp.asarray(params.proposal_sigma_t)))
+        r_kernel = BootstrapKernel(Dynamics("r", params.velocity_decay,
+                                            jnp.asarray(params.proposal_sigma_r),
+                                            is_quaternion=True))
+        smc = lambda k: SequentialMonteCarlo(k, ConstantSchedule(), params.n_particles,
+                                             math.log(params.relative_ess))
+        return CoordinateSampler((smc(t_kernel), smc(r_kernel)))
+    else:
+        tr = JointDynamics(jnp.asarray(params.proposal_sigma_t),
+                           jnp.asarray(params.proposal_sigma_r), params.velocity_decay)
+        return SequentialMonteCarlo(BootstrapKernel(tr), ConstantSchedule(),
+                                    params.n_particles, math.log(params.relative_ess))
+
+
+def _run_pf(key, posterior_fn, params, experiment, depth_imgs, kind,
+            collect_vars=("t", "r")):
+    """Shared driver: init on frame 0, lax.scan over the remaining frames.
+
+    ``depth_imgs``: [F, H, W] already at render size (host preprocessing
+    resizes, mirroring resize_experiment in the reference's loop).
+    """
+    sampler = _pf_samplers(params, kind)
+
+    def build_model(depth_img):
+        exp = experiment.with_depth_image(depth_img)
+        prior = pf_prior(params, exp)
+        return posterior_fn(params, exp, prior)
+
+    @jax.jit
+    def run(key, depth_imgs):
+        k_init, k_scan = jax.random.split(key)
+        model0 = build_model(depth_imgs[0])
+        _, state = sampler.init(k_init, model0, params.n_particles)
+
+        def body(state, inputs):
+            k, depth_img = inputs
+            model = build_model(depth_img)
+            sample, new_state = sampler.step(k, model, state)
+            return new_state, collect_variables(new_state, collect_vars)
+
+        keys = jax.random.split(k_scan, depth_imgs.shape[0] - 1)
+        final, outs = jax.lax.scan(body, state, (keys, depth_imgs[1:]))
+        return outs, final
+
+    return run(key, jnp.asarray(depth_imgs))
+
+
+def coordinate_pf(key, posterior_fn, params, experiment, depth_imgs,
+                  collect_vars=("t", "r")):
+    """Block-wise (t then r) bootstrap particle filter over a depth stream
+    (parity: coordinate_pf at ParticleFilter.jl:16-38)."""
+    return _run_pf(key, posterior_fn, params, experiment, depth_imgs,
+                   "coordinate", collect_vars)
+
+
+def bootstrap_pf(key, posterior_fn, params, experiment, depth_imgs,
+                 collect_vars=("t", "r")):
+    """Joint-dynamics bootstrap particle filter
+    (parity: bootstrap_pf at ParticleFilter.jl:45-61)."""
+    return _run_pf(key, posterior_fn, params, experiment, depth_imgs,
+                   "bootstrap", collect_vars)
