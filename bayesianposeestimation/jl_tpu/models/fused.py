@@ -1,0 +1,154 @@
+"""Fused posteriors: the graph-based models compiled onto the Pallas kernel.
+
+Produces drop-in replacements for the ``experiment_models`` factories whose
+likelihood evaluates via ``ops.pallas_raster.pallas_render_score`` — render,
+association, per-pixel mixture logpdf, and the pixel reduction all inside one
+kernel (SURVEY.md §3.5's fusion target). The regularizers apply outside on
+the kernel's (ℓ, Σo) outputs:
+
+* ImageLikelihoodNormalizer:  ℓ_reg = c_reg / Σo * ℓ      (Models.jl:47-71)
+* SimpleImageRegularization:  ℓ_reg = c_reg / n_pix * ℓ   (Models.jl:81-87)
+
+The object is duck-compatible with ``posterior.PosteriorModel`` (same
+``sample_prior`` / ``tempered_logdensity_sample`` / ``bijectors`` /
+``quaternion_names`` / ``graph`` surface), so every sampler runs on it
+unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..distributions import Normal, QuaternionUniform
+from ..graph import BroadcastedNode, sequentialize
+from ..models import pixel as P
+from ..ops.pallas_raster import pallas_render_score
+from ..posterior import tempered_logdensity
+from ..samples import Sample
+
+__all__ = ["FusedPosterior", "fused_posterior", "make_score_fn"]
+
+
+def make_score_fn(params, variant: str):
+    """Elementwise (mu, z, prior_o) -> (ell_px, o) for the kernel epilogue.
+
+    Variants mirror the experiment_models factories:
+    simple / association / association_simple_reg / smooth /
+    smooth_simple_reg / smooth_simple (see ExperimentModels.jl:48-146).
+    """
+    min_d, max_d = params.min_depth, params.max_depth
+    theta, sigma = params.pixel_theta, params.pixel_sigma
+
+    if variant in ("simple", "smooth_simple"):
+        # fixed association o = prior (Dirac); both reference variants use
+        # pixel_mixture here (ExperimentModels.jl:52-54, 138-146)
+        def fn(mu, z, prior_o):
+            o = prior_o
+            ell = P.pixel_mixture(min_d, max_d, theta, sigma, mu, o).logpdf(z)
+            return ell, o
+
+        return fn
+
+    if variant in ("association", "association_simple_reg"):
+        o_fn = P.pixel_association_fn(params)
+
+        def fn(mu, z, prior_o):
+            o = o_fn(prior_o, mu, z)
+            ell = P.pixel_mixture(min_d, max_d, theta, sigma, mu, o).logpdf(z)
+            return ell, o
+
+        return fn
+
+    if variant in ("smooth", "smooth_simple_reg"):
+        o_fn = P.smooth_association_fn(params)
+
+        def fn(mu, z, prior_o):
+            o = o_fn(prior_o, mu, z)
+            ell = P.smooth_mixture(min_d, max_d, theta, sigma, mu, o).logpdf(z)
+            return ell, o
+
+        return fn
+
+    raise ValueError(variant)
+
+
+_SIMPLE_REG = ("simple", "association_simple_reg", "smooth_simple_reg", "smooth_simple")
+
+
+class FusedPosterior:
+    """Duck-typed PosteriorModel whose likelihood is the fused kernel."""
+
+    def __init__(self, params, experiment, variant: str = "association",
+                 backface_cull: bool = True):
+        self.params = params
+        self.experiment = experiment
+        self.variant = variant
+        self.backface_cull = backface_cull
+        self.score_fn = make_score_fn(params, variant)
+        self.simple_reg = variant in _SIMPLE_REG
+
+        # prior graph for proposals / sampling (point_prior without the
+        # μ node — the render lives inside the likelihood kernel)
+        t_node = BroadcastedNode("t", Normal, jnp.asarray(experiment.prior_t),
+                                 jnp.asarray(params.sigma_t))
+        r_node = BroadcastedNode("r", QuaternionUniform)
+        self.graph = {"t": t_node, "r": r_node}
+        self.prior = self.graph
+        self.prior_stochastic = self.graph
+        self.likelihood = {}
+        self.bijectors = {}
+        from ..bijectors import IDENTITY
+
+        self.bijectors = {"t": IDENTITY, "r": IDENTITY}
+        self.quaternion_names = ("r",)
+
+    # -- PosteriorModel protocol -------------------------------------------
+    def sample_prior(self, key, n_particles: int) -> Sample:
+        from ..graph import sample_graph
+
+        values = sample_graph(self.graph, key, (n_particles,))
+        return Sample(values)
+
+    def prior_and_likelihood(self, sample: Sample, batch_ndim: int = 1):
+        t = sample.variables["t"]
+        r = sample.variables["r"]
+        batch = t.shape[:-1]
+        exp = self.experiment
+        params = self.params
+        ell_raw, sum_o = pallas_render_score(
+            exp.scene["verts"], exp.scene["faces"], exp.scene["camera"],
+            t.reshape(-1, 3), r.reshape(-1, 4),
+            exp.depth_image, jnp.asarray(exp.prior_o, params.float_type),
+            self.score_fn, height=params.height, width=params.width,
+            chunk=params.raster_chunk, backface_cull=self.backface_cull,
+        )
+        ell_raw = ell_raw.reshape(batch)
+        sum_o = sum_o.reshape(batch)
+        if self.simple_reg:
+            ell_like = P.simple_image_regularization(
+                params.c_reg, ell_raw, params.width * params.height)
+        else:
+            ell_like = P.logdensity_npixel(ell_raw, params.c_reg, sum_o)
+
+        # prior: t ~ Normal(prior_t, σ_t), r ~ QuaternionUniform (logjac 0)
+        lp_t = jnp.sum(
+            Normal(jnp.asarray(self.experiment.prior_t),
+                   jnp.asarray(params.sigma_t)).logpdf(t), axis=-1)
+        lp_r = QuaternionUniform().logpdf(r)
+        return lp_t + lp_r, ell_like
+
+    def logdensity_sample(self, sample: Sample, batch_ndim: int = 1) -> Sample:
+        lp, ll = self.prior_and_likelihood(sample, batch_ndim)
+        return sample.set_logdensities(lp + ll, ll)
+
+    def tempered_logdensity_sample(self, sample: Sample, temp, batch_ndim: int = 1) -> Sample:
+        lp, ll = self.prior_and_likelihood(sample, batch_ndim)
+        return sample.set_logdensities(tempered_logdensity(lp, ll, temp), ll)
+
+
+def fused_posterior(params, experiment, variant: str = "association",
+                    backface_cull: bool = True) -> FusedPosterior:
+    """Factory mirroring the experiment_models constructors but fused:
+    ``variant`` selects association/mixture/regularizer wiring."""
+    return FusedPosterior(params, experiment, variant, backface_cull)

@@ -49,7 +49,7 @@ def main():
 
     n_steps, n_particles = 500, 100
     params = Parameters(n_steps=n_steps, n_particles=n_particles,
-                        proposal_sigma_r=(0.5, 0.5, 0.5))
+                        proposal_sigma_r=(0.5, 0.5, 0.5), raster_chunk=64)
     mesh = mesh_io.monkey_mesh(0.08)
     base = CvCamera(width=640, height=480, f_x=600.0, f_y=600.0, c_x=319.5, c_y=239.5,
                     near=0.01, far=10.0)
@@ -65,8 +65,9 @@ def main():
     obs = jnp.where(clean > 0, clean + 0.01 * jax.random.normal(k_noise, clean.shape), 0.0)
     experiment = Experiment(scene=scene, prior_o=params.o_mask_is, prior_t=gt_t,
                             depth_image=obs)
-    prior = em.point_prior(params, experiment)
-    posterior = em.association_posterior(params, experiment, prior)
+    from bayesianposeestimation.jl_tpu.models.fused import fused_posterior
+
+    posterior = fused_posterior(params, experiment, "association")
     sampler = es.smc_mh(params, posterior)
 
     def run():

@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--n-steps", type=int, default=300)
     ap.add_argument("--n-particles", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--fused", action="store_true",
+                    help="use the fused Pallas render+score kernel")
     args = ap.parse_args()
 
     from bayesianposeestimation.jl_tpu import quaternions as quat
@@ -73,8 +75,18 @@ def main():
 
     experiment = Experiment(scene=scene, prior_o=params.o_mask_is, prior_t=gt_t,
                             depth_image=obs)
-    prior = em.point_prior(params, experiment)
-    posterior = getattr(em, args.posterior)(params, experiment, prior)
+    if args.fused:
+        from bayesianposeestimation.jl_tpu.models.fused import fused_posterior
+
+        variant = args.posterior.replace("_posterior", "").replace("simple", "simple")
+        variant = {"simple_posterior": "simple", "association_posterior": "association",
+                   "association_simple_reg": "association_simple_reg",
+                   "smooth_posterior": "smooth", "smooth_simple_reg": "smooth_simple_reg",
+                   "smooth_simple_posterior": "smooth_simple"}[args.posterior]
+        posterior = fused_posterior(params, experiment, variant)
+    else:
+        prior = em.point_prior(params, experiment)
+        posterior = getattr(em, args.posterior)(params, experiment, prior)
     sampler = getattr(es, args.sampler)(params, posterior)
 
     print(f"devices: {jax.devices()}")

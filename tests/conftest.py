@@ -8,8 +8,10 @@ devices.
 
 import os
 
-# Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax import. Force-assign: the shell exports
+# JAX_PLATFORMS=axon (the TPU tunnel), so setdefault would silently send the
+# whole suite to the TPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"

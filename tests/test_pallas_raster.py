@@ -1,0 +1,118 @@
+"""Pallas fused kernel vs XLA reference path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesianposeestimation.jl_tpu import quaternions as quat
+from bayesianposeestimation.jl_tpu.camera import CvCamera, crop_camera
+from bayesianposeestimation.jl_tpu.models import pixel as P
+from bayesianposeestimation.jl_tpu.models.fused import make_score_fn
+from bayesianposeestimation.jl_tpu.ops.pallas_raster import (
+    pallas_render_depth,
+    pallas_render_score,
+)
+from bayesianposeestimation.jl_tpu.ops.rasterize import render_depth_batch
+from bayesianposeestimation.jl_tpu.parameters import Parameters
+from bayesianposeestimation.jl_tpu.utils.mesh_io import cube_mesh, icosphere_mesh
+
+CAM = CvCamera(width=16, height=16, f_x=16.0, f_y=16.0, c_x=7.5, c_y=7.5, near=0.01, far=10.0)
+
+
+def _poses(key, n):
+    q = quat.rand_quaternion(key, (n,))
+    t = jnp.array([0.0, 0.0, 1.0]) + 0.03 * jax.random.normal(key, (n, 3))
+    return t, q
+
+
+@pytest.mark.parametrize("mesh_fn", [cube_mesh, icosphere_mesh])
+def test_pallas_render_matches_xla(mesh_fn, key):
+    mesh = mesh_fn(0.1) if mesh_fn is cube_mesh else mesh_fn(0.06, 1)
+    verts, faces = jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces)
+    t, q = _poses(key, 5)
+    a = np.asarray(render_depth_batch(verts, faces, CAM, t, q, chunk=64))
+    b = np.asarray(pallas_render_depth(verts, faces, CAM, t, q, chunk=64))
+    print("DBG devices", len(jax.devices()), "backend", jax.default_backend(),
+          "x64", jax.config.jax_enable_x64, "b:", b[(b > 0)][:3])
+    assert np.mean((a > 0) != (b > 0)) < 0.01
+    both = (a > 0) & (b > 0)
+    np.testing.assert_allclose(a[both], b[both], atol=2e-3)
+
+
+def test_backface_cull_is_exact(key):
+    mesh = icosphere_mesh(0.06, 1)
+    verts, faces = jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces)
+    t, q = _poses(key, 3)
+    a = np.asarray(pallas_render_depth(verts, faces, CAM, t, q, backface_cull=True))
+    b = np.asarray(pallas_render_depth(verts, faces, CAM, t, q, backface_cull=False))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_fused_score_matches_composition(key):
+    """Fused kernel (ℓ, Σo) == render -> associate -> logpdf -> reduce in XLA."""
+    params = Parameters(width=16, height=16)
+    mesh = cube_mesh(0.1)
+    verts, faces = jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces)
+    t, q = _poses(key, 6)
+    k_obs = jax.random.PRNGKey(7)
+    clean = render_depth_batch(verts, faces, CAM, t[:1], q[:1])[0]
+    z = jnp.where(clean > 0, clean + 0.01 * jax.random.normal(k_obs, clean.shape), jnp.inf)
+    prior_o = jnp.float32(0.7)
+
+    score_fn = make_score_fn(params, "association")
+    ell, sumo = pallas_render_score(verts, faces, CAM, t, q, z, prior_o, score_fn, chunk=64)
+
+    # reference composition in plain XLA
+    mu = render_depth_batch(verts, faces, CAM, t, q)
+    o_fn = P.pixel_association_fn(params)
+    o = o_fn(prior_o, mu, z)
+    lp = P.pixel_mixture(params.min_depth, params.max_depth, params.pixel_theta,
+                         params.pixel_sigma, mu, o).logpdf(z)
+    ell_ref = jnp.sum(lp, axis=(-2, -1))
+    sumo_ref = jnp.sum(o, axis=(-2, -1))
+    np.testing.assert_allclose(ell, ell_ref, rtol=1e-3, atol=0.2)
+    np.testing.assert_allclose(sumo, sumo_ref, rtol=1e-3, atol=0.2)
+
+
+def test_fused_posterior_matches_graph(key):
+    """FusedPosterior densities == graph-based association_posterior."""
+    from bayesianposeestimation.jl_tpu.models import experiment_models as em
+    from bayesianposeestimation.jl_tpu.models.fused import fused_posterior
+    from bayesianposeestimation.jl_tpu.parameters import Experiment
+
+    params = Parameters(width=16, height=16, raster_chunk=64)
+    mesh = cube_mesh(0.1)
+    cam = crop_camera(
+        CvCamera(width=64, height=64, f_x=64.0, f_y=64.0, c_x=31.5, c_y=31.5,
+                 near=0.01, far=10.0),
+        np.array([0.0, 0.0, 1.0]), 0.1 * np.sqrt(3), width=16, height=16)
+    scene = {"camera": cam, "verts": jnp.asarray(mesh.vertices),
+             "faces": jnp.asarray(mesh.faces)}
+    gt_t = jnp.array([0.0, 0.0, 1.0])
+    clean = render_depth_batch(scene["verts"], scene["faces"], cam, gt_t[None],
+                               quat.quat_identity()[None])[0]
+    exp = Experiment(scene=scene, prior_o=0.7, prior_t=gt_t,
+                     depth_image=jnp.where(clean > 0, clean, 0.0))
+    graph_post = em.association_posterior(params, exp, em.point_prior(params, exp))
+    fused_post = fused_posterior(params, exp, "association")
+    s = graph_post.sample_prior(key, 8)
+    g = graph_post.logdensity_sample(s)
+    f = fused_post.logdensity_sample(s)
+    np.testing.assert_allclose(np.asarray(g.log_like), np.asarray(f.log_like),
+                               rtol=1e-3, atol=0.05)
+    np.testing.assert_allclose(np.asarray(g.log_prob), np.asarray(f.log_prob),
+                               rtol=1e-3, atol=0.05)
+
+
+@pytest.mark.parametrize("variant", ["simple", "smooth"])
+def test_fused_variants_run(variant, key):
+    params = Parameters(width=16, height=16)
+    mesh = cube_mesh(0.1)
+    verts, faces = jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces)
+    t, q = _poses(key, 3)
+    z = jnp.full((16, 16), jnp.inf)
+    score_fn = make_score_fn(params, variant)
+    ell, sumo = pallas_render_score(verts, faces, CAM, t, q, z, 0.7, score_fn, chunk=64)
+    assert ell.shape == (3,)
+    assert bool(jnp.all(jnp.isfinite(ell)))
