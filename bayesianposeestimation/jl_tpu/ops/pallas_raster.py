@@ -209,7 +209,11 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, cam, n_pix_valid,
                     return dot(hi_ref) + dot(lo_ref)
 
                 w0, w1, w2, d, areav = (group(g) for g in range(5))
-                inside = (jnp.minimum(jnp.minimum(w0, w1), w2) >= 0) & (areav > 0)
+                # epsilon-tolerant fill (see rasterize.py): avoids cracks on
+                # shared edges under f32 jitter
+                inside = (jnp.minimum(jnp.minimum(w0, w1), w2) >= -1e-5 * areav) & (
+                    areav > 0
+                )
                 depth = areav / d
                 hit = inside & (depth > near) & (depth < far)
                 cand = jnp.where(hit, depth, big)

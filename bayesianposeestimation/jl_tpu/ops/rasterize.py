@@ -159,7 +159,11 @@ def render_depth_batch(verts, faces, cam: CvCamera, t, q, height=None, width=Non
         w0, w1, w2, d = vals[:, :, 0], vals[:, :, 1], vals[:, :, 2], vals[:, :, 3]
 
         sa = jnp.sign(area)[..., None]
-        inside = (w0 * sa >= 0) & (w1 * sa >= 0) & (w2 * sa >= 0)
+        # epsilon-tolerant fill: pixels exactly on a shared edge must not be
+        # dropped by BOTH adjacent triangles under f32 jitter (cracks on quad
+        # diagonals); double coverage is harmless for a z-min depth buffer
+        tol = 1e-5 * jnp.abs(area)[..., None]
+        inside = (w0 * sa >= -tol) & (w1 * sa >= -tol) & (w2 * sa >= -tol)
         # triangle validity: non-degenerate, all vertices in front of near plane
         tri_ok = (
             (jnp.abs(area) > 1e-9)
