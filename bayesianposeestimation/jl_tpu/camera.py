@@ -13,14 +13,21 @@ from __future__ import annotations
 
 from dataclasses import dataclass, replace
 
+import jax
 import jax.numpy as jnp
 
-__all__ = ["CvCamera", "crop_camera", "reproject_3d", "depth_to_distance"]
+__all__ = ["CvCamera", "crop_camera", "reproject_3d", "depth_to_distance",
+           "crop_image"]
 
 
 @dataclass(frozen=True)
 class CvCamera:
-    """OpenCV-style pinhole intrinsics (static, hashable -> jit-friendly)."""
+    """OpenCV-style pinhole intrinsics.
+
+    Registered as a pytree: the intrinsics (f_x, f_y, c_x, c_y, s) are
+    traced leaves, while (width, height, near, far) stay static — so per-image
+    crop cameras flow through jitted render/score programs WITHOUT
+    recompilation (one compile per resolution, not per image)."""
 
     width: int
     height: int
@@ -56,6 +63,31 @@ class CvCamera:
             c_y=(self.c_y + 0.5) * sy - 0.5,
             s=self.s * sx,
         )
+
+
+jax.tree_util.register_pytree_node(
+    CvCamera,
+    lambda c: ((c.f_x, c.f_y, c.c_x, c.c_y, c.s), (c.width, c.height, c.near, c.far)),
+    lambda aux, leaves: CvCamera(
+        width=aux[0], height=aux[1],
+        f_x=leaves[0], f_y=leaves[1], c_x=leaves[2], c_y=leaves[3], s=leaves[4],
+        near=aux[2], far=aux[3],
+    ),
+)
+
+
+def crop_image(img, full_cam: CvCamera, crop_cam: CvCamera):
+    """Resample an image through a crop camera's intrinsics (nearest,
+    invalid-preserving). Host/numpy or jnp."""
+    import numpy as np
+
+    u = (np.arange(crop_cam.width) - np.asarray(crop_cam.c_x)) / np.asarray(crop_cam.f_x)
+    v = (np.arange(crop_cam.height) - np.asarray(crop_cam.c_y)) / np.asarray(crop_cam.f_y)
+    su = np.clip((u * np.asarray(full_cam.f_x) + np.asarray(full_cam.c_x)).round().astype(int),
+                 0, img.shape[1] - 1)
+    sv = np.clip((v * np.asarray(full_cam.f_y) + np.asarray(full_cam.c_y)).round().astype(int),
+                 0, img.shape[0] - 1)
+    return np.asarray(img)[sv][:, su]
 
 
 def crop_camera(camera: CvCamera, center_3d, diameter: float, scale: float = 1.5,

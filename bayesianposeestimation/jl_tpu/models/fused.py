@@ -77,10 +77,14 @@ _SIMPLE_REG = ("simple", "association_simple_reg", "smooth_simple_reg", "smooth_
 
 
 class FusedPosterior:
-    """Duck-typed PosteriorModel whose likelihood is the fused kernel."""
+    """Duck-typed PosteriorModel whose likelihood is the fused kernel.
+
+    ``prior_graph``: optional dict of BroadcastedNodes for the prior (e.g. the
+    particle filter's velocity-state prior, pf_prior_nodes); defaults to the
+    point prior {t, r}. The likelihood always consumes (t, r) only."""
 
     def __init__(self, params, experiment, variant: str = "association",
-                 backface_cull: bool = True):
+                 backface_cull: bool = True, prior_graph=None):
         self.params = params
         self.experiment = experiment
         self.variant = variant
@@ -88,20 +92,21 @@ class FusedPosterior:
         self.score_fn = make_score_fn(params, variant)
         self.simple_reg = variant in _SIMPLE_REG
 
-        # prior graph for proposals / sampling (point_prior without the
-        # μ node — the render lives inside the likelihood kernel)
-        t_node = BroadcastedNode("t", Normal, jnp.asarray(experiment.prior_t),
-                                 jnp.asarray(params.sigma_t))
-        r_node = BroadcastedNode("r", QuaternionUniform)
-        self.graph = {"t": t_node, "r": r_node}
-        self.prior = self.graph
-        self.prior_stochastic = self.graph
-        self.likelihood = {}
-        self.bijectors = {}
-        from ..bijectors import IDENTITY
+        if prior_graph is None:
+            # point prior without the μ node — the render lives inside the
+            # likelihood kernel
+            t_node = BroadcastedNode("t", Normal, jnp.asarray(experiment.prior_t),
+                                     jnp.asarray(params.sigma_t))
+            r_node = BroadcastedNode("r", QuaternionUniform)
+            prior_graph = {"t": t_node, "r": r_node}
+        from ..graph import bijectors_of, quaternion_names_of
 
-        self.bijectors = {"t": IDENTITY, "r": IDENTITY}
-        self.quaternion_names = ("r",)
+        self.graph = prior_graph
+        self.prior = prior_graph
+        self.prior_stochastic = prior_graph
+        self.likelihood = {}
+        self.bijectors = bijectors_of(prior_graph)
+        self.quaternion_names = quaternion_names_of(prior_graph)
 
     # -- PosteriorModel protocol -------------------------------------------
     def sample_prior(self, key, n_particles: int) -> Sample:
@@ -131,12 +136,12 @@ class FusedPosterior:
         else:
             ell_like = P.logdensity_npixel(ell_raw, params.c_reg, sum_o)
 
-        # prior: t ~ Normal(prior_t, σ_t), r ~ QuaternionUniform (logjac 0)
-        lp_t = jnp.sum(
-            Normal(jnp.asarray(self.experiment.prior_t),
-                   jnp.asarray(params.sigma_t)).logpdf(t), axis=-1)
-        lp_r = QuaternionUniform().logpdf(r)
-        return lp_t + lp_r, ell_like
+        # prior logdensity via the prior graph (identity bijectors: these
+        # variables are unconstrained / on the quaternion manifold)
+        from ..graph import logdensityof_graph
+
+        lp = logdensityof_graph(self.graph, sample.variables, len(batch))
+        return lp, ell_like
 
     def logdensity_sample(self, sample: Sample, batch_ndim: int = 1) -> Sample:
         lp, ll = self.prior_and_likelihood(sample, batch_ndim)
@@ -148,7 +153,51 @@ class FusedPosterior:
 
 
 def fused_posterior(params, experiment, variant: str = "association",
-                    backface_cull: bool = True) -> FusedPosterior:
+                    backface_cull: bool = True, prior_graph=None) -> FusedPosterior:
     """Factory mirroring the experiment_models constructors but fused:
     ``variant`` selects association/mixture/regularizer wiring."""
-    return FusedPosterior(params, experiment, variant, backface_cull)
+    return FusedPosterior(params, experiment, variant, backface_cull, prior_graph)
+
+
+def make_conditioned_chain(params, verts, faces, variant, sampler_factory,
+                           n_steps, collect_vars=("t", "r")):
+    """Compile-once chain runner conditioned on per-image data.
+
+    Returns ``run(key, camera, depth_img, prior_o, prior_t) -> (outs, final)``
+    jitted ONCE per (mesh shape, resolution, sampler, n_steps): the crop
+    camera (pytree of traced intrinsics), observation, segmentation prior, and
+    position prior are all traced arguments, so a BOP sweep pays exactly one
+    compile per object resolution instead of one per image (the reference
+    rebuilds its model per frame too, but interpreted Julia has no retrace
+    cost to dodge — XLA does).
+    """
+    import jax
+
+    from ..parameters import Experiment
+    from ..samplers.chain import collect_variables
+    from ..samplers.smc import SmcState
+
+    verts = jnp.asarray(verts)
+    faces = jnp.asarray(faces)
+
+    @jax.jit
+    def run(key, camera, depth_img, prior_o, prior_t):
+        scene = {"camera": camera, "verts": verts, "faces": faces}
+        exp = Experiment(scene=scene, prior_o=prior_o, prior_t=prior_t,
+                         depth_image=depth_img)
+        posterior = FusedPosterior(params, exp, variant)
+        sampler = sampler_factory(params, posterior)
+        k_init, k_scan = jax.random.split(key)
+        _, state0 = sampler.init(k_init, posterior, params.n_particles)
+
+        def body(state, k):
+            sample, new_state = sampler.step(k, posterior, state)
+            out = collect_variables(
+                new_state if isinstance(new_state, SmcState) else sample, collect_vars)
+            return new_state, out
+
+        keys = jax.random.split(k_scan, n_steps - 1)
+        final, outs = jax.lax.scan(body, state0, keys)
+        return outs, final
+
+    return run

@@ -40,6 +40,7 @@ from ..tempering import ConstantSchedule
 
 __all__ = [
     "pf_prior",
+    "pf_prior_nodes",
     "Dynamics",
     "JointDynamics",
     "coordinate_pf",
@@ -47,6 +48,21 @@ __all__ = [
     "resize_experiment",
     "crop_experiment",
 ]
+
+
+def pf_prior_nodes(params, experiment):
+    """Velocity-state prior nodes WITHOUT the render node — for the fused
+    posterior, whose likelihood kernel renders internally."""
+    return {
+        "t_dot": BroadcastedNode("t_dot", Normal, jnp.zeros(3),
+                                 jnp.asarray(params.proposal_sigma_t)),
+        "r_dot": BroadcastedNode("r_dot", Normal, jnp.zeros(3),
+                                 jnp.asarray(params.proposal_sigma_r)),
+        "t": BroadcastedNode("t", Normal, jnp.asarray(experiment.prior_t),
+                             jnp.asarray(params.proposal_sigma_t)),
+        "r": BroadcastedNode("r", QuaternionNormal, jnp.asarray(experiment.prior_r),
+                             float(params.proposal_sigma_r[0])),
+    }
 
 
 def pf_prior(params, experiment):
@@ -192,37 +208,47 @@ def _pf_samplers(params, kind):
                                     params.n_particles, math.log(params.relative_ess))
 
 
+_PF_RUNNER_CACHE: dict = {}
+
+
 def _run_pf(key, posterior_fn, params, experiment, depth_imgs, kind,
             collect_vars=("t", "r")):
     """Shared driver: init on frame 0, lax.scan over the remaining frames.
 
     ``depth_imgs``: [F, H, W] already at render size (host preprocessing
-    resizes, mirroring resize_experiment in the reference's loop).
+    resizes, mirroring resize_experiment in the reference's loop). The jitted
+    runner is cached on (posterior_fn, params, kind, shapes) so repeated
+    calls — and live per-frame stepping — never recompile.
     """
-    sampler = _pf_samplers(params, kind)
+    depth_imgs = jnp.asarray(depth_imgs)
+    cache_key = (posterior_fn, params, kind, collect_vars, depth_imgs.shape,
+                 id(experiment))
+    if cache_key not in _PF_RUNNER_CACHE:
+        sampler = _pf_samplers(params, kind)
 
-    def build_model(depth_img):
-        exp = experiment.with_depth_image(depth_img)
-        prior = pf_prior(params, exp)
-        return posterior_fn(params, exp, prior)
+        def build_model(depth_img):
+            exp = experiment.with_depth_image(depth_img)
+            prior = pf_prior(params, exp)
+            return posterior_fn(params, exp, prior)
 
-    @jax.jit
-    def run(key, depth_imgs):
-        k_init, k_scan = jax.random.split(key)
-        model0 = build_model(depth_imgs[0])
-        _, state = sampler.init(k_init, model0, params.n_particles)
+        @jax.jit
+        def run(key, depth_imgs):
+            k_init, k_scan = jax.random.split(key)
+            model0 = build_model(depth_imgs[0])
+            _, state = sampler.init(k_init, model0, params.n_particles)
 
-        def body(state, inputs):
-            k, depth_img = inputs
-            model = build_model(depth_img)
-            sample, new_state = sampler.step(k, model, state)
-            return new_state, collect_variables(new_state, collect_vars)
+            def body(state, inputs):
+                k, depth_img = inputs
+                model = build_model(depth_img)
+                sample, new_state = sampler.step(k, model, state)
+                return new_state, collect_variables(new_state, collect_vars)
 
-        keys = jax.random.split(k_scan, depth_imgs.shape[0] - 1)
-        final, outs = jax.lax.scan(body, state, (keys, depth_imgs[1:]))
-        return outs, final
+            keys = jax.random.split(k_scan, depth_imgs.shape[0] - 1)
+            final, outs = jax.lax.scan(body, state, (keys, depth_imgs[1:]))
+            return outs, final
 
-    return run(key, jnp.asarray(depth_imgs))
+        _PF_RUNNER_CACHE[cache_key] = run
+    return _PF_RUNNER_CACHE[cache_key](key, depth_imgs)
 
 
 def coordinate_pf(key, posterior_fn, params, experiment, depth_imgs,

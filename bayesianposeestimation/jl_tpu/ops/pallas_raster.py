@@ -54,9 +54,11 @@ __all__ = ["pallas_render_score", "pallas_render_depth", "pose_triangle_coeffici
 LANE = 128
 
 
-def _snap(c):
-    """Principal point snapped to the nearest half-integer (bf16-exact grid)."""
-    return round(float(c) * 2.0) / 2.0
+def _grid_center(width, height):
+    """Static grid center (half-integers -> bf16-exact pixel coords). The true
+    principal point is folded into the traced coefficients, so arbitrary
+    per-image crop cameras share ONE compiled kernel per resolution."""
+    return (width - 1) / 2.0, (height - 1) / 2.0
 
 
 def _round_up(x, m):
@@ -92,11 +94,12 @@ def pose_triangle_coefficients(tri_verts, cam: CvCamera, t, q,
     n = t.shape[0]
     f_pad = tri_verts.shape[0]
     n_chunks = f_pad // chunk
-    # half-integer-snapped principal point: kernel pixel coords (i - c_snap)
-    # are then EXACT in bf16 (half-integers < 64), so the bf16x2 hi/lo
-    # coefficient split reaches ~f32 dot accuracy in two default-precision
-    # MXU passes (Mosaic supports neither HIGH nor cheap HIGHEST)
-    cx_snap, cy_snap = _snap(cam.c_x), _snap(cam.c_y)
+    # static grid center: kernel pixel coords (i - gc) are EXACT in bf16
+    # (half-integers < 128), so the bf16x2 hi/lo coefficient split reaches
+    # ~f32 dot accuracy in two default-precision MXU passes (Mosaic supports
+    # neither HIGH nor cheap HIGHEST); the (traced) principal point enters
+    # through the coefficients only
+    cx_snap, cy_snap = _grid_center(width, height)
 
     # pose transform: [N, f_pad, 3verts, 3] = R[n] @ v + t[n] — dense einsum
     rot = quat.quat_to_matrix(q)  # [N, 3, 3]
@@ -167,24 +170,23 @@ def _interpret_mode() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _make_kernel(width, height, p_pad, f_pad, chunk, cam, n_pix_valid,
+def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
                  score_fn=None, with_mu=False):
     """Kernel body; args: scalar-prefetched [N, n_chunks] liveness, then the
     bf16 hi/lo coefficient splits. ``score_fn(mu, z, prior_o) -> (ell_px, o)``
-    elementwise; None -> render."""
+    elementwise; None -> render. near/far are static floats."""
     n_chunks = f_pad // chunk
-    near = float(cam.near)
-    far = float(cam.far)
     big = float("inf")
+    gc_x, gc_y = _grid_center(width, height)
 
     def grid_rows():
-        # half-integer coords relative to the snapped principal point are
-        # EXACT in bf16 for |coord| < 128 -> the hi/lo dots lose nothing
+        # half-integer coords relative to the static grid center are EXACT in
+        # bf16 for |coord| < 128 -> the hi/lo dots lose nothing
         idx = jax.lax.broadcasted_iota(jnp.int32, (1, p_pad), 1)
         u = jnp.where(idx < n_pix_valid, idx % width, -1).astype(jnp.float32)
         v = jnp.where(idx < n_pix_valid, idx // width, -1).astype(jnp.float32)
-        u = u - _snap(cam.c_x)
-        v = v - _snap(cam.c_y)
+        u = u - gc_x
+        v = v - gc_y
         ones = jnp.ones((1, p_pad), jnp.float32)
         return jnp.concatenate([u, v, ones], axis=0).astype(jnp.bfloat16)
 
@@ -254,7 +256,7 @@ def _prep(verts, faces, cam, t, q, width, height, chunk, backface_cull):
     return hi, lo, live, f_pad
 
 
-@partial(jax.jit, static_argnames=("cam", "height", "width", "chunk", "backface_cull"))
+@partial(jax.jit, static_argnames=("height", "width", "chunk", "backface_cull"))
 def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
                         height=None, width=None, chunk=256, backface_cull=True):
     """Drop-in Pallas replacement for rasterize.render_depth_batch:
@@ -267,7 +269,8 @@ def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
 
     hi, lo, live, f_pad = _prep(verts, faces, cam, t, q, width, height,
                                 chunk, backface_cull)
-    kernel = _make_kernel(width, height, p_pad, f_pad, chunk, cam, n_pix)
+    kernel = _make_kernel(width, height, p_pad, f_pad, chunk,
+                          float(cam.near), float(cam.far), n_pix)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -293,7 +296,7 @@ def _flatten_pad_image(img, p_pad):
     return jnp.pad(flat, (0, p_pad - flat.shape[0]))[None, :]
 
 
-@partial(jax.jit, static_argnames=("cam", "height", "width", "chunk", "score_fn",
+@partial(jax.jit, static_argnames=("height", "width", "chunk", "score_fn",
                                    "return_mu", "backface_cull"))
 def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
                         score_fn, height=None, width=None, chunk=256,
@@ -319,7 +322,8 @@ def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
         jnp.broadcast_to(jnp.asarray(prior_o, jnp.float32), (height, width)), p_pad
     )
 
-    kernel = _make_kernel(width, height, p_pad, f_pad, chunk, cam, n_pix,
+    kernel = _make_kernel(width, height, p_pad, f_pad, chunk,
+                          float(cam.near), float(cam.far), n_pix,
                           score_fn=score_fn, with_mu=return_mu)
 
     out_shape = [

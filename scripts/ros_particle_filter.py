@@ -1,0 +1,145 @@
+"""Real-time particle-filter tracking on a depth stream.
+
+Parity target: /root/reference/scripts/ros_particle_filter.jl — bootstrap
+(1250 particles) and coordinate (600) particle filters on Realsense depth
+streams at 80x60 px targeting 90 Hz (:46-49,78-83,98-101). Input is the .npz
+depth-stream format (convert rosbags offline with
+utils.experiment_io.convert_rosbag); without a stream a synthetic orbiting
+sequence is generated, so the script runs out of the box.
+
+    python scripts/ros_particle_filter.py --filter coordinate --n-frames 120
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def synthetic_stream(n_frames, width, height, seed=0):
+    """Orbit + bob trajectory of the monkey blob, rendered to depth."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bayesianposeestimation.jl_tpu import quaternions as quat
+    from bayesianposeestimation.jl_tpu.camera import CvCamera
+    from bayesianposeestimation.jl_tpu.ops.rasterize import render_depth_batch
+    from bayesianposeestimation.jl_tpu.utils import mesh_io
+
+    mesh = mesh_io.monkey_mesh(0.08)
+    cam = CvCamera(width=width, height=height, f_x=1.1 * width, f_y=1.1 * width,
+                   c_x=(width - 1) / 2, c_y=(height - 1) / 2, near=0.01, far=10.0)
+    ts_ = np.linspace(0, 2 * np.pi, n_frames)
+    gt_t = np.stack([0.04 * np.sin(ts_), 0.03 * np.cos(ts_), 1.0 + 0.05 * np.sin(2 * ts_)], 1)
+    gt_q = np.asarray(jax.vmap(quat.qexp)(jnp.asarray(
+        np.stack([0.8 * ts_, 0.2 * np.sin(ts_), 0.1 * ts_], 1), jnp.float32)))
+    depth = np.asarray(render_depth_batch(
+        jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces), cam,
+        jnp.asarray(gt_t, jnp.float32), jnp.asarray(gt_q, jnp.float32)))
+    rng = np.random.default_rng(seed)
+    noisy = np.where(depth > 0, depth + rng.normal(0, 0.005, depth.shape), 0.0)
+    return dict(depth=noisy.astype(np.float32), camera=cam,
+                gt_t=gt_t.astype(np.float32), gt_q=gt_q.astype(np.float32)), mesh
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stream", default=None, help=".npz depth stream (see convert_rosbag)")
+    ap.add_argument("--filter", default="coordinate", choices=["coordinate", "bootstrap"])
+    ap.add_argument("--n-particles", type=int, default=None,
+                    help="default: 600 coordinate / 1250 bootstrap (reference values)")
+    ap.add_argument("--width", type=int, default=80)
+    ap.add_argument("--height", type=int, default=60)
+    ap.add_argument("--n-frames", type=int, default=120)
+    ap.add_argument("--mesh", default="monkey")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bayesianposeestimation.jl_tpu import quaternions as quat
+    from bayesianposeestimation.jl_tpu.models.fused import fused_posterior
+    from bayesianposeestimation.jl_tpu.models.particle_filter import (
+        bootstrap_pf,
+        coordinate_pf,
+        pf_prior_nodes,
+        resize_experiment,
+    )
+    from bayesianposeestimation.jl_tpu.parameters import Experiment, Parameters
+    from bayesianposeestimation.jl_tpu.utils import mesh_io
+    from bayesianposeestimation.jl_tpu.utils.experiment_io import load_depth_stream
+
+    n_particles = args.n_particles or (600 if args.filter == "coordinate" else 1250)
+    params = Parameters(width=args.width, height=args.height,
+                        n_particles=n_particles, raster_chunk=64,
+                        proposal_sigma_t=(0.005, 0.005, 0.005),
+                        proposal_sigma_r=(0.05, 0.05, 0.05))
+
+    if args.stream:
+        stream = load_depth_stream(args.stream)
+        mesh = mesh_io.load_obj(args.mesh) if args.mesh.endswith(".obj") else \
+            mesh_io.monkey_mesh(0.08)
+    else:
+        stream, mesh = synthetic_stream(args.n_frames, args.width, args.height)
+
+    # tracking budget: the render only resolves ~pixel-scale detail; decimate
+    # for throughput (see utils.decimate)
+    from bayesianposeestimation.jl_tpu.utils.decimate import decimate
+
+    mesh = decimate(mesh, 320)
+
+    cam = stream["camera"].scale_to(args.width, args.height) \
+        if stream["camera"].width != args.width else stream["camera"]
+    depth = stream["depth"]
+    if depth.shape[1:] != (args.height, args.width):
+        from bayesianposeestimation.jl_tpu.utils.bop import depth_resize
+
+        depth = np.stack([depth_resize(d, args.width, args.height) for d in depth])
+
+    scene = {"camera": cam, "verts": jnp.asarray(mesh.vertices),
+             "faces": jnp.asarray(mesh.faces)}
+    prior_t = stream.get("gt_t", np.asarray([[0.0, 0.0, 1.0]]))[0]
+    prior_r = stream.get("gt_q", np.asarray([[1.0, 0.0, 0.0, 0.0]]))[0]
+    experiment = Experiment(scene=scene, prior_o=params.o_mask_is,
+                            prior_t=jnp.asarray(prior_t),
+                            prior_r=jnp.asarray(prior_r),
+                            depth_image=jnp.asarray(depth[0]))
+
+    def posterior_fn(p, exp, prior):
+        return fused_posterior(p, exp, "simple", prior_graph=pf_prior_nodes(p, exp))
+
+    pf = coordinate_pf if args.filter == "coordinate" else bootstrap_pf
+    key = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    outs, final = pf(key, posterior_fn, params, experiment, depth)
+    jax.block_until_ready(outs)
+    compile_and_run = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    outs, final = pf(key, posterior_fn, params, experiment, depth)
+    jax.block_until_ready(outs)
+    steady = time.perf_counter() - t0
+    n_frames = depth.shape[0] - 1
+    fps = n_frames / steady
+    print(f"{args.filter} PF: {n_particles} particles at {args.width}x{args.height}, "
+          f"{n_frames} frames")
+    print(f"first run {compile_and_run:.2f}s; steady {steady:.3f}s -> {fps:,.1f} fps "
+          f"(reference target: 90 Hz, ros_particle_filter.jl:46-49)")
+
+    if "gt_t" in stream:
+        w = np.exp(np.asarray(outs["log_weights"]))
+        est_t = np.einsum("fn,fnd->fd", w, np.asarray(outs["t"]))
+        err = np.linalg.norm(est_t - stream["gt_t"][1:], axis=1)
+        print(f"mean translation error: {err.mean()*1000:.1f} mm "
+              f"(median {np.median(err)*1000:.1f} mm)")
+        ok = np.median(err) < 0.05
+        print("RESULT:", "PASS" if ok else "FAIL")
+        return 0 if ok else 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,80 @@
+"""Recall-vs-compute sweep: n_particles x pose time budget.
+
+Parity target: /root/reference/scripts/smc_benchmark.jl — the sweep design
+n_particles in {10,50,100,250}, pose_time in 0.05..1.2 s (:38-44) with
+recall curves over the compute budget (:176-209). Runs on the synthetic BOP
+dataset by default.
+
+    python scripts/make_synthetic_bop.py
+    python scripts/smc_benchmark.py --scenes 1
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from smc_bop_val import evaluate_scene, scene_inference  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bop-dir", default="data/bop")
+    ap.add_argument("--dataset", default="synth")
+    ap.add_argument("--testset", default="val")
+    ap.add_argument("--scenes", type=int, nargs="+", default=[1])
+    ap.add_argument("--particles", type=int, nargs="+", default=[10, 50, 100, 250])
+    ap.add_argument("--budgets", type=float, nargs="+", default=[0.05, 0.1, 0.25, 0.5, 1.2])
+    ap.add_argument("--sampler", default="smc_mh")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from bayesianposeestimation.jl_tpu.parameters import Parameters
+    from bayesianposeestimation.jl_tpu.utils import evaluation as ev
+    from bayesianposeestimation.jl_tpu.utils.artifacts import (
+        datadir,
+        dict_list,
+        produce_or_load,
+        savename,
+    )
+
+    configs = dict_list({
+        "sampler": args.sampler, "dataset": args.dataset, "testset": args.testset,
+        "scene_id": list(args.scenes), "n_particles": list(args.particles),
+        "pose_time": list(args.budgets),
+    })
+    rows = []
+    for config in configs:
+        parameters = Parameters(
+            n_particles=config["n_particles"], time_budget=config["pose_time"],
+            pixel_sigma=0.005, association_sigma=0.005, o_mask_is=0.9,
+            proposal_sigma_r=(np.pi, np.pi, np.pi), raster_chunk=64,
+        )
+        print(f"config: {config}")
+        result, _ = produce_or_load(
+            lambda c: scene_inference(c, args.bop_dir, parameters),
+            config, datadir("exp_raw", "smc_benchmark"), filename=savename(config))
+        errors, _ = produce_or_load(
+            lambda c: evaluate_scene(c, args.bop_dir, parameters, result["result_rows"]),
+            config, datadir("exp_pro", "smc_benchmark", "errors"),
+            filename=savename(config))
+        vsd_rec = ev.recall(*ev.threshold_errors(errors["vsd"], ev.BOP18_THETA))
+        adds_rec = ev.recall(*ev.threshold_errors(errors["adds"], ev.ADDS_THETA))
+        mean_time = float(np.mean([r["time"] for r in result["result_rows"]]))
+        rows.append(dict(**{k: v for k, v in config.items() if k != "dataset"},
+                         vsd_recall=vsd_rec, adds_recall=adds_rec,
+                         mean_pose_time=mean_time))
+        print(f"  -> VSD recall {vsd_rec:.3f}, ADDS recall {adds_rec:.3f}")
+
+    import pandas as pd
+
+    out = datadir("exp_pro", "smc_benchmark", "recall_vs_budget.csv")
+    out.parent.mkdir(parents=True, exist_ok=True)
+    pd.DataFrame(rows).to_csv(out, index=False)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

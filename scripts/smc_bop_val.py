@@ -1,0 +1,243 @@
+"""BOP validation sweep: time-budgeted SMC pose estimation + error evaluation.
+
+Parity target: /root/reference/scripts/smc_bop_val.jl — config sweep via
+dict_list (:45-63), produce-or-load caching (:167-169), step count from a
+measured step time and the pose time budget (:135-140), best pose = max
+log-likelihood particle (:103-105), then error evaluation (VSD/VSDBOP/ADDS),
+greedy matching, and recall (:173-274 / src/Evaluation.jl).
+
+Runs out of the box on the synthetic dataset from make_synthetic_bop.py:
+
+    python scripts/make_synthetic_bop.py
+    python scripts/smc_bop_val.py --dataset synth --testset val --scenes 1
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def scene_inference(config, bop_dir, parameters):
+    """Estimate poses for every target row of one scene (parity:
+    scene_inference at smc_bop_val.jl:114-162)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bayesianposeestimation.jl_tpu.camera import crop_camera
+    from bayesianposeestimation.jl_tpu.models import experiment_samplers as es
+    from bayesianposeestimation.jl_tpu.models.fused import fused_posterior
+    from bayesianposeestimation.jl_tpu.models.experiment_models import (
+        point_from_segmentation,
+    )
+    from bayesianposeestimation.jl_tpu.parameters import Experiment
+    from bayesianposeestimation.jl_tpu.samplers import sample_chain
+    from bayesianposeestimation.jl_tpu.utils import bop
+    from bayesianposeestimation.jl_tpu.utils.evaluation import (
+        mean_step_time,
+        steps_for_time_budget,
+    )
+    from bayesianposeestimation.jl_tpu.utils.experiment_io import load_img_mesh
+
+    from bayesianposeestimation.jl_tpu.camera import crop_image
+    from bayesianposeestimation.jl_tpu.models.fused import make_conditioned_chain
+
+    dataset, testset, scene_id = config["dataset"], config["testset"], config["scene_id"]
+    sampler_name = config["sampler"]
+    df = bop.bop_test_or_train(bop_dir, dataset, testset, scene_id)
+    key = jax.random.PRNGKey(parameters.seed % (2**31))
+    sampler_factory = getattr(es, sampler_name)
+
+    rows = []
+    calibrated_steps = None
+    runners = {}  # one compiled chain per object (mesh shape)
+    for _, row in df.iterrows():
+        depth_img, mask_img, mesh = load_img_mesh(row, parameters)
+        diameter = bop.model_diameter(row)
+        full_cam = bop.camera_for_row(row)
+        full_depth = bop.load_depth_image(row)
+        full_mask = bop.load_mask_image(row)
+        ys, xs = np.nonzero(np.asarray(full_mask))
+        bbox = (xs.min(), xs.max(), ys.min(), ys.max()) if xs.size else (0, 1, 0, 1)
+        prior_t = point_from_segmentation(bbox, full_depth, full_mask, full_cam)
+        cam = crop_camera(full_cam, prior_t, diameter,
+                          width=parameters.width, height=parameters.height)
+        obs = crop_image(full_depth, full_cam, cam)
+        mask_crop = crop_image(full_mask, full_cam, cam)
+        prior_o = np.where(mask_crop, parameters.o_mask_is, parameters.o_mask_not)
+
+        if calibrated_steps is None:
+            scene = {"camera": cam, "verts": jnp.asarray(mesh.vertices),
+                     "faces": jnp.asarray(mesh.faces)}
+            experiment = Experiment(scene=scene, prior_o=jnp.asarray(prior_o, jnp.float32),
+                                    prior_t=jnp.asarray(prior_t),
+                                    depth_image=jnp.asarray(obs))
+            posterior = fused_posterior(parameters, experiment, "association")
+            probe = sampler_factory(parameters, posterior)
+            step_time = mean_step_time(key, posterior, probe,
+                                       parameters.n_particles, max_seconds=0.5)
+            calibrated_steps = steps_for_time_budget(step_time, parameters.time_budget)
+            print(f"  step time {step_time*1e3:.2f} ms -> "
+                  f"{calibrated_steps} steps per {parameters.time_budget}s budget")
+
+        obj_key = (int(row.obj_id), mesh.n_faces)
+        if obj_key not in runners:
+            params_run = parameters.replace(n_steps=calibrated_steps)
+            runners[obj_key] = make_conditioned_chain(
+                params_run, mesh.vertices, mesh.faces, "association",
+                sampler_factory, calibrated_steps)
+        run = runners[obj_key]
+
+        key, k_run = jax.random.split(key)
+        t0 = time.perf_counter()
+        outs, final = run(k_run, cam, jnp.asarray(obs),
+                          jnp.asarray(prior_o, jnp.float32), jnp.asarray(prior_t))
+        jax.block_until_ready(outs)
+        wall = time.perf_counter() - t0
+
+        ll = np.asarray(outs["log_like"][-1])
+        best = int(np.argmax(ll))
+        rows.append(dict(
+            scene_id=int(row.scene_id), img_id=int(row.img_id),
+            gt_id=int(row.gt_id), obj_id=int(row.obj_id),
+            t=np.asarray(outs["t"][-1][best]),
+            q=np.asarray(outs["r"][-1][best]),
+            score=float(ll[best]), time=wall,
+            gt_t=np.asarray(row.gt_t), gt_R=np.asarray(row.gt_R),
+            cam_K=np.asarray(row.cam_K), depth_scale=float(row.depth_scale),
+        ))
+        print(f"  scene {row.scene_id} img {row.img_id} obj {row.obj_id}: "
+              f"{wall:.2f}s score {ll[best]:.1f}")
+    return {"result_rows": rows, "n_steps": calibrated_steps}
+
+
+def evaluate_scene(config, bop_dir, parameters, result_rows):
+    """VSD/VSDBOP/ADDS per estimate + greedy matching (parity:
+    calc_n_match_errors at Evaluation.jl:173-216)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bayesianposeestimation.jl_tpu import quaternions as quat
+    from bayesianposeestimation.jl_tpu.utils import bop
+    from bayesianposeestimation.jl_tpu.utils import evaluation as ev
+
+    dataset = config["dataset"]
+    vsd_delta = ev.ITODD_DELTA if ("itodd" in dataset or "steri" in dataset) else ev.BOP_DELTA
+
+    adds, vsd, vsdbop = [], [], []
+    for r in result_rows:
+        row = dict(r)
+        row["datasubset_path"] = str(Path(bop_dir) / dataset / config["testset"])
+        mesh = bop.load_mesh(row, decimate_to=2000)
+        diameter = bop.model_diameter(row)
+        gt_q = np.asarray(quat.matrix_to_quat(jnp.asarray(r["gt_R"], jnp.float32)))
+        cam = bop.camera_for_row(row, 100, 100)  # 100x100 eval crops (Evaluation.jl:159)
+        depth = bop.load_depth_image(row, 100, 100)
+        scene = {"verts": jnp.asarray(mesh.vertices), "faces": jnp.asarray(mesh.faces)}
+        es_t, es_q = jnp.asarray(r["t"]), jnp.asarray(r["q"])
+        gt_t = jnp.asarray(r["gt_t"], jnp.float32)
+        adds.append(float(ev.normalized_adds_error(
+            scene["verts"], es_t, es_q, gt_t, jnp.asarray(gt_q), diameter)))
+        vsd.append(float(ev.vsd_error(scene, cam, jnp.asarray(depth), es_t, es_q,
+                                      gt_t, jnp.asarray(gt_q), delta=vsd_delta,
+                                      tau=0.02)))
+        vsdbop.append(np.asarray(ev.normalized_vsd_error(
+            scene, cam, jnp.asarray(depth), es_t, es_q, gt_t, jnp.asarray(gt_q),
+            diameter, delta=vsd_delta)))
+    return {"adds": np.asarray(adds), "vsd": np.asarray(vsd),
+            "vsdbop": np.stack(vsdbop) if vsdbop else np.zeros((0, 10))}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bop-dir", default="data/bop")
+    ap.add_argument("--dataset", default="synth")
+    ap.add_argument("--testset", default="val")
+    ap.add_argument("--scenes", type=int, nargs="+", default=[1])
+    ap.add_argument("--samplers", nargs="+", default=["smc_mh"],
+                    choices=["smc_mh", "smc_forward", "smc_bootstrap",
+                             "mh_sampler", "mtm_sampler"])
+    ap.add_argument("--time-budget", type=float, default=0.5)
+    ap.add_argument("--n-particles", type=int, default=100)
+    ap.add_argument("--experiment-name", default="smc_bop_val")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from bayesianposeestimation.jl_tpu.parameters import Parameters
+    from bayesianposeestimation.jl_tpu.utils import evaluation as ev
+    from bayesianposeestimation.jl_tpu.utils.artifacts import (
+        datadir,
+        dict_list,
+        produce_or_load,
+        savename,
+    )
+    from bayesianposeestimation.jl_tpu.utils.visualization import (
+        diss_defaults,
+        plot_recall_curves,
+    )
+
+    # hyperopt-tuned parameters of the reference (smc_bop_val.jl:36-39),
+    # with proposal_sigma_r=pi for SO(3) exploration
+    parameters = Parameters(
+        n_particles=args.n_particles, time_budget=args.time_budget,
+        pixel_sigma=0.005, association_sigma=0.005, o_mask_is=0.9,
+        proposal_sigma_r=(np.pi, np.pi, np.pi), raster_chunk=64,
+    )
+
+    configs = dict_list({
+        "sampler": list(args.samplers), "dataset": args.dataset,
+        "testset": args.testset, "scene_id": list(args.scenes),
+    })
+    raw_dir = datadir("exp_raw", args.experiment_name)
+    all_errors = {}
+    for config in configs:
+        print(f"config: {config}")
+        result, _ = produce_or_load(
+            lambda c: scene_inference(c, args.bop_dir, parameters),
+            config, raw_dir, filename=savename(config))
+        errors, _ = produce_or_load(
+            lambda c: evaluate_scene(c, args.bop_dir, parameters,
+                                     result["result_rows"]),
+            config, datadir("exp_pro", args.experiment_name, "errors"),
+            filename=savename(config))
+        all_errors.setdefault(config["sampler"], []).append(errors)
+
+    # recall aggregation per sampler (parity: evaluate_recalls)
+    rows = []
+    recall_curves_adds = {}
+    recall_curves_vsd = {}
+    for sampler_name, errs in all_errors.items():
+        adds = np.concatenate([e["adds"] for e in errs])
+        vsd = np.concatenate([e["vsd"] for e in errs])
+        vsdbop = np.concatenate([e["vsdbop"] for e in errs])
+        adds_rec = ev.recall(*ev.threshold_errors(adds, ev.ADDS_THETA))
+        vsd_rec = ev.recall(*ev.threshold_errors(vsd, ev.BOP18_THETA))
+        vsdbop_rec = ev.recall(*ev.threshold_errors(vsdbop, np.asarray(ev.BOP19_THRESHOLDS)))
+        rows.append(dict(sampler=sampler_name, adds_recall=adds_rec,
+                         vsd_recall=vsd_rec, vsdbop_recall=vsdbop_rec))
+        recall_curves_adds[sampler_name] = adds
+        recall_curves_vsd[sampler_name] = vsd
+        print(f"{sampler_name}: ADDS recall {adds_rec:.3f}, VSD recall {vsd_rec:.3f}, "
+              f"VSDBOP recall {vsdbop_rec:.3f}")
+
+    import pandas as pd
+
+    out_dir = datadir("exp_pro", args.experiment_name)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    pd.DataFrame(rows).to_csv(out_dir / "sampler_recall.csv", index=False)
+
+    diss_defaults()
+    Path("plots").mkdir(exist_ok=True)
+    fig = plot_recall_curves(recall_curves_adds, ev.ADDS_THETA, title="ADDS")
+    fig.savefig(f"plots/{args.experiment_name}_adds_recall.pdf")
+    fig = plot_recall_curves(recall_curves_vsd, ev.BOP18_THETA, title="VSD")
+    fig.savefig(f"plots/{args.experiment_name}_vsd_recall.pdf")
+    print(f"wrote {out_dir/'sampler_recall.csv'} and plots/")
+
+
+if __name__ == "__main__":
+    main()
