@@ -181,7 +181,7 @@ def make_conditioned_chain(params, verts, faces, variant, sampler_factory,
     faces = jnp.asarray(faces)
 
     @jax.jit
-    def run(key, camera, depth_img, prior_o, prior_t):
+    def _run(key, camera, depth_img, prior_o, prior_t):
         scene = {"camera": camera, "verts": verts, "faces": faces}
         exp = Experiment(scene=scene, prior_o=prior_o, prior_t=prior_t,
                          depth_image=depth_img)
@@ -200,4 +200,19 @@ def make_conditioned_chain(params, verts, faces, variant, sampler_factory,
         final, outs = jax.lax.scan(body, state0, keys)
         return outs, final
 
+    import dataclasses
+
+    def run(key, camera, depth_img, prior_o, prior_t):
+        # canonicalize dtypes/weak-types so equivalent inputs never retrace
+        camera = dataclasses.replace(
+            camera,
+            f_x=jnp.float32(camera.f_x), f_y=jnp.float32(camera.f_y),
+            c_x=jnp.float32(camera.c_x), c_y=jnp.float32(camera.c_y),
+            s=jnp.float32(camera.s),
+        )
+        return _run(key, camera, jnp.asarray(depth_img, jnp.float32),
+                    jnp.asarray(prior_o, jnp.float32),
+                    jnp.asarray(prior_t, jnp.float32))
+
+    run._cache_size = _run._cache_size
     return run

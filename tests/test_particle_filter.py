@@ -1,0 +1,98 @@
+"""Particle-filter tracking tests on synthetic depth streams (CPU-sized)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesianposeestimation.jl_tpu import quaternions as quat
+from bayesianposeestimation.jl_tpu.camera import CvCamera
+from bayesianposeestimation.jl_tpu.models.fused import fused_posterior
+from bayesianposeestimation.jl_tpu.models.particle_filter import (
+    Dynamics,
+    JointDynamics,
+    bootstrap_pf,
+    coordinate_pf,
+    pf_prior_nodes,
+    resize_experiment,
+)
+from bayesianposeestimation.jl_tpu.ops.rasterize import render_depth_batch
+from bayesianposeestimation.jl_tpu.parameters import Experiment, Parameters
+from bayesianposeestimation.jl_tpu.samples import Sample
+from bayesianposeestimation.jl_tpu.utils.mesh_io import cube_mesh
+
+
+def _stream(n_frames=6, width=24, height=24):
+    mesh = cube_mesh(0.1)
+    cam = CvCamera(width=width, height=height, f_x=1.2 * width, f_y=1.2 * width,
+                   c_x=(width - 1) / 2, c_y=(height - 1) / 2, near=0.01, far=10.0)
+    s = np.linspace(0, 1, n_frames)
+    gt_t = np.stack([0.03 * s, -0.02 * s, 1.0 + 0.04 * s], 1).astype(np.float32)
+    gt_q = np.stack([np.asarray(quat.qexp(jnp.array([0.3 * si, 0.0, 0.1 * si])))
+                     for si in s])
+    depth = np.asarray(render_depth_batch(
+        jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces), cam,
+        jnp.asarray(gt_t), jnp.asarray(gt_q, jnp.float32)))
+    rng = np.random.default_rng(0)
+    noisy = np.where(depth > 0, depth + rng.normal(0, 0.004, depth.shape), 0.0)
+    return mesh, cam, noisy.astype(np.float32), gt_t, gt_q
+
+
+def test_dynamics_proposal_semantics(key):
+    dyn = Dynamics("t", decay=0.9, sigma=jnp.asarray([0.01, 0.01, 0.01]))
+    prev = Sample({"t": jnp.ones((8, 3)), "t_dot": jnp.full((8, 3), 0.1)})
+    new = dyn.propose(key, prev)
+    # constant-acceleration integration: t' = t + t_dot + 0.5 a
+    drift = np.asarray(new.variables["t"] - prev.variables["t"])
+    np.testing.assert_allclose(drift.mean(0), 0.1, atol=0.02)
+    # decayed velocity
+    v = np.asarray(new.variables["t_dot"])
+    np.testing.assert_allclose(v.mean(0), 0.09, atol=0.02)
+    assert float(dyn.transition_probability(new, prev)) == 0.0
+
+
+def test_joint_dynamics_quaternion(key):
+    dyn = JointDynamics(jnp.full(3, 0.01), jnp.full(3, 0.01))
+    prev = Sample({
+        "t": jnp.zeros((4, 3)), "t_dot": jnp.zeros((4, 3)),
+        "r": jnp.broadcast_to(quat.quat_identity(), (4, 4)),
+        "r_dot": jnp.zeros((4, 3)),
+    })
+    new = dyn.propose(key, prev)
+    np.testing.assert_allclose(
+        jnp.linalg.norm(new.variables["r"], axis=-1), 1.0, atol=1e-5)
+
+
+@pytest.mark.parametrize("pf", [coordinate_pf, bootstrap_pf])
+def test_pf_tracks_motion(pf, key):
+    mesh, cam, depth, gt_t, gt_q = _stream()
+    params = Parameters(width=24, height=24, n_particles=64, raster_chunk=64,
+                        proposal_sigma_t=(0.01, 0.01, 0.01),
+                        proposal_sigma_r=(0.05, 0.05, 0.05))
+    scene = {"camera": cam, "verts": jnp.asarray(mesh.vertices),
+             "faces": jnp.asarray(mesh.faces)}
+    exp = Experiment(scene=scene, prior_o=params.o_mask_is,
+                     prior_t=jnp.asarray(gt_t[0]), prior_r=jnp.asarray(gt_q[0]),
+                     depth_image=jnp.asarray(depth[0]))
+
+    def posterior_fn(p, e, prior):
+        return fused_posterior(p, e, "simple", prior_graph=pf_prior_nodes(p, e))
+
+    outs, final = pf(key, posterior_fn, params, exp, depth)
+    w = np.exp(np.asarray(outs["log_weights"]))
+    est_t = np.einsum("fn,fnd->fd", w, np.asarray(outs["t"]))
+    err = np.linalg.norm(est_t - gt_t[1:], axis=1)
+    # cube is small in frame; tracking within ~2 cm is success at this scale
+    assert np.median(err) < 0.02, f"median error {np.median(err)}"
+
+
+def test_resize_experiment():
+    mesh, cam, depth, gt_t, gt_q = _stream()
+    scene = {"camera": cam, "verts": jnp.asarray(mesh.vertices),
+             "faces": jnp.asarray(mesh.faces)}
+    exp = Experiment(scene=scene, prior_o=0.7, prior_t=jnp.zeros(3),
+                     depth_image=jnp.asarray(depth[0]))
+    big = jnp.asarray(np.random.default_rng(0).uniform(0.5, 1.5, (48, 48)),
+                      jnp.float32)
+    out = resize_experiment(exp, big, 24, 24)
+    assert out.depth_image.shape == (24, 24)
