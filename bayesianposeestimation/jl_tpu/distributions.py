@@ -28,7 +28,6 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import log_ndtr
 
 from . import quaternions as quat
 from .bijectors import IDENTITY, LOG, LOGIT
@@ -51,6 +50,46 @@ __all__ = [
 ]
 
 _NEG_INF = -jnp.inf
+
+
+def _log1mexp(a):
+    """log(1 - exp(a)) for a <= 0, without log1p/expm1 (absent in Mosaic).
+    Accurate enough for the truncation normalizers used here (|a| >~ 1e-3)."""
+    return jnp.log(jnp.maximum(1.0 - jnp.exp(a), 1e-38))
+
+
+def _erf_approx(x):
+    """Abramowitz & Stegun 7.1.26 erf (|err| < 1.5e-7), built from exp and
+    polynomials only — Mosaic (Pallas TPU) has no erf primitive."""
+    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def log_ndtr(x):
+    """Kernel-safe log of the standard normal CDF.
+
+    jax.scipy.special.log_ndtr lowers to erf, which Mosaic does not
+    implement; this version combines the A&S erf approximation (x > -5,
+    absolute error < 1.5e-7) with the asymptotic expansion
+    log Φ(x) ~ -x²/2 - log(-x√(2π)) + log(1 - 1/x²) for the far tail.
+    """
+    x = jnp.asarray(x)
+    half = jnp.asarray(0.5, x.dtype)
+    sqrt_half = jnp.asarray(0.7071067811865476, x.dtype)
+    # body: Φ(x) = 0.5 (1 + erf(x/√2)), used for x > -4
+    xb = jnp.maximum(x, -4.0)
+    body = jnp.log(jnp.maximum(half * (1.0 + _erf_approx(xb * sqrt_half)), 1e-38))
+    # tail: x <= -4 (3-term asymptotic series)
+    xt = jnp.minimum(x, -4.0)
+    inv2 = 1.0 / (xt * xt)
+    tail = (-half * xt * xt - jnp.log(-xt * jnp.asarray(2.5066282746310002, x.dtype))
+            + jnp.log(1.0 - inv2 + 3.0 * inv2 * inv2 - 15.0 * inv2 * inv2 * inv2))
+    return jnp.where(x > -4.0, body, tail)
 
 
 def _register(cls):
@@ -161,7 +200,7 @@ class TruncatedExponential:
         # stable form: -low/θ + log1p(-exp(-(high-low)/θ))
         span = (high - low) / theta
         ok = span > 0
-        log_z = -low / theta + jnp.log1p(-jnp.exp(-jnp.where(ok, span, 1.0)))
+        log_z = -low / theta + _log1mexp(-jnp.where(ok, span, 1.0))
         ll = -jnp.where(inside, x, 0.0) / theta - jnp.log(theta) - log_z
         return jnp.where(inside & ok, ll, _NEG_INF)
 
@@ -222,8 +261,8 @@ class SmoothExponential:
         lb = log_ndtr(b)
         # log(Φ(a) - Φ(b)) = la + log1p(-exp(lb - la)), guarded for la == lb
         diff = jnp.clip(lb - la, max=0.0)
-        log_window = la + jnp.log1p(-jnp.exp(jnp.minimum(diff, -1e-12)))
-        log_z = jnp.log(-jnp.expm1(-jnp.where(ok, span, 1.0) / theta))
+        log_window = la + _log1mexp(jnp.minimum(diff, -1e-12))
+        log_z = _log1mexp(-jnp.where(ok, span, 1.0) / theta)
         ll = (
             0.5 * (sigma / theta) ** 2
             - (xs - low) / theta

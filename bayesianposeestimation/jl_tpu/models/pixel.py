@@ -114,7 +114,7 @@ def marginalized_association(logpdf_is, logpdf_not, prior, mu, z):
     /root/reference/src/Models.jl:187-198. Computed in log space for stability.
     """
     l_is = jnp.log(prior) + logpdf_is(mu, z)
-    l_not = jnp.log1p(-prior) + logpdf_not(mu, z)
+    l_not = jnp.log(jnp.maximum(1.0 - prior, 1e-38)) + logpdf_not(mu, z)
     post = jnp.exp(l_is - jnp.logaddexp(l_is, l_not))
     limit = (prior <= 0.0) | (prior >= 1.0) | (mu <= 0.0)
     return jnp.where(limit, prior, post)
