@@ -45,13 +45,16 @@ def collect_variables(sample_or_state, var_names=("t", "r")):
 
 
 @partial(jax.jit, static_argnames=("model", "sampler", "n_steps", "n_particles",
-                                   "collect_vars", "collect_every"))
+                                   "collect_vars", "collect_every", "n_burn_in"))
 def sample_chain(key, model, sampler, n_steps, n_particles=None,
-                 collect_vars=("t", "r"), collect_every=1):
+                 collect_vars=("t", "r"), collect_every=1, n_burn_in=0):
     """Run init + (n_steps-1) scanned steps; returns (collected, final_state).
 
     ``collected`` stacks ``collect_variables`` outputs along a leading step
-    axis (every ``collect_every``-th step — the reference's n_thinning).
+    axis. ``n_burn_in`` / ``collect_every`` mirror AbstractMCMC's
+    discard_initial / thinning (reference Parameters n_burn_in/n_thinning,
+    used at scripts/demo_inference.jl:154) — applied after the scan, so the
+    device program stays a single static scan.
     """
     k_init, k_scan = jax.random.split(key)
     _, state0 = sampler.init(k_init, model, n_particles)
@@ -65,8 +68,8 @@ def sample_chain(key, model, sampler, n_steps, n_particles=None,
 
     keys = jax.random.split(k_scan, n_steps - 1)
     final_state, outs = jax.lax.scan(body, state0, keys)
-    if collect_every > 1:
-        outs = jax.tree.map(lambda x: x[::collect_every], outs)
+    if n_burn_in > 0 or collect_every > 1:
+        outs = jax.tree.map(lambda x: x[n_burn_in::collect_every], outs)
     return outs, final_state
 
 
