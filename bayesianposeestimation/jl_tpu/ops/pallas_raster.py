@@ -135,7 +135,13 @@ def pose_triangle_coefficients(tri_verts, cam: CvCamera, t, q,
         & (jnp.minimum(jnp.minimum(v0, v1), v2) <= hi_v)
         & (jnp.maximum(jnp.maximum(v0, v1), v2) >= lo_v)
     )
-    valid = (jnp.abs(area) > 1e-9) & jnp.all(z > cam.near, axis=-1) & in_view
+    # near AND far vertex culling: interpolated depth is then bounded by the
+    # vertex depths, so the kernel needs no per-pixel near/far checks
+    valid = (
+        (jnp.abs(area) > 1e-9)
+        & jnp.all((z > cam.near) & (z < cam.far), axis=-1)
+        & in_view
+    )
     if backface_cull:
         valid = valid & (area < 0)
 
@@ -158,10 +164,16 @@ def pose_triangle_coefficients(tri_verts, cam: CvCamera, t, q,
     forms = jnp.concatenate([forms, area_row[:, None, :, :]], axis=1)  # [N,5,3,Fp]
     coefs = jnp.transpose(forms, (0, 2, 1, 3)).reshape(n, 3, 5 * f_pad)
     # bf16x2 split: hi + lo reconstructs coefs to ~2^-16 relative; validated
-    # against an f64 golden rasterizer at <=1.3e-5 absolute depth error (a
-    # third term changes nothing at f32 output resolution)
-    hi = coefs.astype(jnp.bfloat16)
-    lo = (coefs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # against an f64 golden rasterizer at <=1.3e-5 absolute depth error.
+    # CRITICAL: the split must be computed by mantissa masking, NOT as
+    # coefs - f32(bf16(coefs)) — XLA's excess-precision simplification can
+    # fold the convert round-trip and silently zero `lo` (observed: the same
+    # code produced lo==0 when jitted standalone). The masked hi is exactly
+    # bf16-representable, and the subtraction has no convert pair to elide.
+    bits = jax.lax.bitcast_convert_type(coefs, jnp.uint32)
+    hi_f32 = jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    hi = hi_f32.astype(jnp.bfloat16)
+    lo = (coefs - hi_f32).astype(jnp.bfloat16)
     return hi, lo, live
 
 
@@ -212,13 +224,15 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
 
                 w0, w1, w2, d, areav = (group(g) for g in range(5))
                 # epsilon-tolerant fill (see rasterize.py): avoids cracks on
-                # shared edges under f32 jitter
+                # shared edges under f32 jitter. No per-pixel near/far test:
+                # culling rejected any triangle with a vertex outside
+                # (near, far), and perspective-correct depth is bounded by
+                # the vertex depths.
                 inside = (jnp.minimum(jnp.minimum(w0, w1), w2) >= -1e-5 * areav) & (
                     areav > 0
                 )
                 depth = areav / d
-                hit = inside & (depth > near) & (depth < far)
-                cand = jnp.where(hit, depth, big)
+                cand = jnp.where(inside, depth, big)
                 chunk_min = jnp.min(cand, axis=0, keepdims=True)  # [1, p_pad]
                 mind_ref[:] = jnp.minimum(mind_ref[:], chunk_min)
 
