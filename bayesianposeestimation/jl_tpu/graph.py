@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from .bijectors import IDENTITY
-from .distributions import QuaternionNormal, QuaternionUniform, broadcast_shape_of
+from .distributions import QuaternionNormal, QuaternionUniform
 
 __all__ = [
     "BroadcastedNode",

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..camera import reproject_3d
-from ..distributions import Dirac, Normal, QuaternionUniform
+from ..distributions import Normal, QuaternionUniform
 from ..graph import BroadcastedNode, DeterministicNode, ModifierNode
 from ..posterior import PosteriorModel
 from ..render import render_context, render_fn

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..distributions import Normal, QuaternionUniform
-from ..graph import BroadcastedNode, sequentialize
+from ..graph import BroadcastedNode
 from ..models import pixel as P
 from ..ops.pallas_raster import pallas_render_score
 from ..posterior import tempered_logdensity

@@ -178,8 +178,6 @@ def crop_experiment(experiment, depth_img, t, diameter, width, height):
     ccam = crop_camera(cam, t, float(diameter), width=width, height=height)
     # project the crop window back onto the source image: nearest sampling of
     # the original pixels through the crop intrinsics
-    import numpy as np
-
     u = (jnp.arange(width) - ccam.c_x) / ccam.f_x
     v = (jnp.arange(height) - ccam.c_y) / ccam.f_y
     src_u = jnp.clip((u * cam.f_x + cam.c_x).astype(jnp.int32), 0, depth_img.shape[1] - 1)

@@ -19,7 +19,6 @@ the *whole chain step*, let the compiler place collectives.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

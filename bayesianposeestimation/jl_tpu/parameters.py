@@ -16,12 +16,11 @@ unicode (σ->sigma, θ->theta).
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["Parameters", "Experiment"]
 

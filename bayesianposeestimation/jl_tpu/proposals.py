@@ -14,11 +14,10 @@ for API parity and introspection.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .graph import downstream_deterministic, logdensityof_graph, sample_graph, sequentialize
-from .samples import Sample, sample_minus, sample_plus, to_model_domain, to_unconstrained_domain
+from .samples import Sample, sample_minus, sample_plus, to_model_domain
 
 __all__ = [
     "Proposal",

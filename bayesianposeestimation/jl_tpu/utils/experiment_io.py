@@ -16,7 +16,7 @@ import numpy as np
 
 from ..camera import CvCamera
 from . import bop
-from .decimate import decimate, triangle_budget_for_resolution
+from .decimate import triangle_budget_for_resolution
 
 __all__ = [
     "load_img_mesh",

@@ -40,7 +40,6 @@ def main():
 
     from bayesianposeestimation.jl_tpu import quaternions as quat
     from bayesianposeestimation.jl_tpu.camera import CvCamera, crop_camera
-    from bayesianposeestimation.jl_tpu.models import experiment_models as em
     from bayesianposeestimation.jl_tpu.models import experiment_samplers as es
     from bayesianposeestimation.jl_tpu.ops.rasterize import render_depth
     from bayesianposeestimation.jl_tpu.parameters import Experiment, Parameters
