@@ -160,7 +160,7 @@ def fused_posterior(params, experiment, variant: str = "association",
 
 
 def make_conditioned_chain(params, verts, faces, variant, sampler_factory,
-                           n_steps, collect_vars=("t", "r")):
+                           n_steps, collect_vars=("t", "r"), n_chains=None):
     """Compile-once chain runner conditioned on per-image data.
 
     Returns ``run(key, camera, depth_img, prior_o, prior_t) -> (outs, final)``
@@ -188,7 +188,8 @@ def make_conditioned_chain(params, verts, faces, variant, sampler_factory,
         posterior = FusedPosterior(params, exp, variant)
         sampler = sampler_factory(params, posterior)
         k_init, k_scan = jax.random.split(key)
-        _, state0 = sampler.init(k_init, posterior, params.n_particles)
+        _, state0 = sampler.init(k_init, posterior,
+                                 params.n_particles if n_chains is None else n_chains)
 
         def body(state, k):
             sample, new_state = sampler.step(k, posterior, state)

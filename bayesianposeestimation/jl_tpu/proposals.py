@@ -92,14 +92,9 @@ def propose(key, proposal, previous: Sample, sample_shape=()) -> Sample:
         # unconstrained via the merged bijectors (proposal may differ from posterior)
         merged = {**proposal.posterior_bijectors, **proposal.proposal_bijectors}
         uncon = {k: merged[k].forward(v) if k in merged else v for k, v in draws.items()}
-        if sample_shape:
-            # broadcast the untouched variables over the extra dims
-            out = {
-                k: jnp.broadcast_to(v, (*sample_shape, *v.shape))
-                for k, v in previous.variables.items()
-            }
-        else:
-            out = dict(previous.variables)
+        # untouched variables keep their original shapes; callers that add a
+        # try axis (MTM) broadcast them exactly once themselves
+        out = dict(previous.variables)
         out.update(uncon)
         return Sample(out)
     raise ValueError(proposal.kind)

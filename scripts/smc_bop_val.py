@@ -50,6 +50,11 @@ def scene_inference(config, bop_dir, parameters):
     df = bop.bop_test_or_train(bop_dir, dataset, testset, scene_id)
     key = jax.random.PRNGKey(parameters.seed % (2**31))
     sampler_factory = getattr(es, sampler_name)
+    # MCMC baselines (mh/mtm) are single chains — n_particles configures the
+    # particle/try count of the sampler itself, not a chain batch (parity:
+    # mcmc_baseline.jl). The best pose is then taken over the whole chain.
+    is_mcmc = sampler_name.startswith(("mh", "mtm"))
+    n_chains = 1 if is_mcmc else parameters.n_particles
 
     rows = []
     calibrated_steps = None
@@ -78,7 +83,7 @@ def scene_inference(config, bop_dir, parameters):
             posterior = fused_posterior(parameters, experiment, "association")
             probe = sampler_factory(parameters, posterior)
             step_time = mean_step_time(key, posterior, probe,
-                                       parameters.n_particles, max_seconds=0.5)
+                                       n_chains, max_seconds=0.5)
             calibrated_steps = steps_for_time_budget(step_time, parameters.time_budget)
             print(f"  step time {step_time*1e3:.2f} ms -> "
                   f"{calibrated_steps} steps per {parameters.time_budget}s budget")
@@ -88,7 +93,7 @@ def scene_inference(config, bop_dir, parameters):
             params_run = parameters.replace(n_steps=calibrated_steps)
             runners[obj_key] = make_conditioned_chain(
                 params_run, mesh.vertices, mesh.faces, "association",
-                sampler_factory, calibrated_steps)
+                sampler_factory, calibrated_steps, n_chains=n_chains)
         run = runners[obj_key]
 
         key, k_run = jax.random.split(key)
@@ -98,19 +103,30 @@ def scene_inference(config, bop_dir, parameters):
         jax.block_until_ready(outs)
         wall = time.perf_counter() - t0
 
-        ll = np.asarray(outs["log_like"][-1])
-        best = int(np.argmax(ll))
+        if is_mcmc:
+            # best sample over the whole chain (parity: mcmc_baseline.jl)
+            ll_all = np.asarray(outs["log_like"])  # [steps, chains]
+            step_i, chain_i = np.unravel_index(np.argmax(ll_all), ll_all.shape)
+            best_t = np.asarray(outs["t"][step_i][chain_i])
+            best_q = np.asarray(outs["r"][step_i][chain_i])
+            best_ll = float(ll_all[step_i, chain_i])
+        else:
+            # best particle of the final SMC population (smc_bop_val.jl:103-105)
+            ll = np.asarray(outs["log_like"][-1])
+            best = int(np.argmax(ll))
+            best_t = np.asarray(outs["t"][-1][best])
+            best_q = np.asarray(outs["r"][-1][best])
+            best_ll = float(ll[best])
         rows.append(dict(
             scene_id=int(row.scene_id), img_id=int(row.img_id),
             gt_id=int(row.gt_id), obj_id=int(row.obj_id),
-            t=np.asarray(outs["t"][-1][best]),
-            q=np.asarray(outs["r"][-1][best]),
-            score=float(ll[best]), time=wall,
+            t=best_t, q=best_q,
+            score=best_ll, time=wall,
             gt_t=np.asarray(row.gt_t), gt_R=np.asarray(row.gt_R),
             cam_K=np.asarray(row.cam_K), depth_scale=float(row.depth_scale),
         ))
         print(f"  scene {row.scene_id} img {row.img_id} obj {row.obj_id}: "
-              f"{wall:.2f}s score {ll[best]:.1f}")
+              f"{wall:.2f}s score {best_ll:.1f}")
     return {"result_rows": rows, "n_steps": calibrated_steps}
 
 

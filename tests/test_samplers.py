@@ -231,3 +231,21 @@ def test_gibbs_sampler(key):
     xs = np.asarray(outs["x"][100:]).ravel()
     assert np.mean(xs) == pytest.approx(mean, abs=0.02)
     assert np.std(xs) == pytest.approx(std, abs=0.02)
+
+
+def test_mtm_independent_subset_variables(key):
+    """Regression: independent-proposal MTM over a SUBSET of variables must
+    broadcast untouched variables exactly once (double broadcast exploded
+    shapes when n_tries == n_chains)."""
+    x = BroadcastedNode("x", Normal, 0.0, 1.0)
+    z = BroadcastedNode("z", Normal, 0.0, 1.0)
+    s = DeterministicNode("s", lambda x, z: x + z, x, z)
+    y = BroadcastedNode("y", Normal, s, 0.5) | jnp.float32(1.0)
+    model = PosteriorModel(y)
+    q = independent_proposal(sequentialize(BroadcastedNode("x", Normal, 0.0, 1.0)), model)
+    n = 8  # n_tries == n_chains, the aliasing case
+    mtm = MultipleTry(q, n, ConstantSchedule())
+    outs, _ = sample_chain(key, model, mtm, n_steps=50, n_particles=n,
+                           collect_vars=("x", "z"))
+    assert outs["x"].shape == (49, n)
+    assert np.isfinite(np.asarray(outs["log_prob"])).all()
