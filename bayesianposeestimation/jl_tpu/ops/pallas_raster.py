@@ -1,36 +1,41 @@
-"""Fused Pallas TPU kernel: rasterize + associate + score without leaving VMEM.
+"""Fully-fused Pallas TPU kernel: transform + rasterize + associate + score.
 
 This is the hot op of the framework (SURVEY.md §3.5): for each pose hypothesis
-1. rasterize the mesh to a depth map μ                (replaces OpenGL draw,
+1. transform + project the mesh and build per-triangle linear forms (VPU)
+2. rasterize to a depth map μ                          (replaces OpenGL draw,
    /root/reference/src/RenderContext.jl:42-49)
-2. analytic pixel association o(prior, μ, z)          (/root/reference/src/Models.jl:187-198)
-3. per-pixel mixture logpdf against the observation z (/root/reference/src/Models.jl:99-162)
-4. pixel reduction -> (ℓ[N], Σo[N])                   (BroadcastedDistribution sum)
+3. analytic pixel association o(prior, μ, z)           (/root/reference/src/Models.jl:187-198)
+4. per-pixel mixture logpdf against the observation z  (/root/reference/src/Models.jl:99-162)
+5. pixel reduction -> (ℓ[N], Σo[N])                    (BroadcastedDistribution sum)
+
+ALL stages run inside one kernel: the only HBM inputs are the (broadcast)
+triangle vertices, an [N, 8] pose array, an 8-float camera row, and the
+observation; nothing pose-sized ever round-trips through HBM. (An earlier
+design precomputed per-(pose, triangle) coefficients in XLA — the swarm of
+small XLA ops cost more than the rasterization itself.)
 
 Kernel design (TPU v5e, see /opt/skills/guides/pallas_guide.md):
-* Grid over poses; the triangle axis streams through VMEM in static chunks,
-  carried as a running per-pixel min — the XLA path's [N, chunk, P]
-  intermediates never exist in HBM.
-* Per-triangle edge functions, the perspective-correct depth numerator, AND
-  the signed area are all linear forms in homogeneous pixel coordinates
-  (u, v, 1) — the area via the constant form (0, 0, area). One
-  [3, chunk] x [3, P] MXU contraction per linear-form group evaluates them at
-  every pixel; the VPU only does inside-mask / z-min / likelihood math.
-* All forms are pre-multiplied by sign(area), so the inside test is simply
-  min(w0,w1,w2) >= 0 & area > 0 — no per-element sign work.
-* NO runtime gathers: triangle vertices are expanded once on the host
-  ([F, 3, 3]); the per-pose transform is a dense einsum (XLA gathers of
-  uv[:, faces] are pathologically slow on TPU).
-* Culling without sorting: triangles invalid for a pose (degenerate, behind
-  the near plane, outside the viewport, backfacing) get zeroed forms, and a
-  scalar-prefetched per-(pose, chunk) liveness flag lets ``@pl.when`` skip
-  fully dead chunks. Mesh faces are spatially coherent in generation order,
-  so backfacing/out-of-view triangles die in whole chunks (~2x typical).
-* Geometry matmuls use a manual bf16x2 scheme: the principal point is
-  snapped to a half-integer so pixel-grid coordinates are EXACT in bf16, and
-  coefficients are split hi/lo — two default-precision MXU passes reach ~f32
-  accuracy (Mosaic supports neither Precision.HIGH nor a cheap HIGHEST; a
-  single bf16 pass corrupts sub-pixel geometry).
+* Grid over poses. Per program: read 7 pose scalars from SMEM, rotate the
+  [f_pad] triangle-vertex rows on the VPU (exact f32), project, and build
+  the five per-triangle linear forms in homogeneous pixel coordinates
+  (u, v, 1) — the three edge functions, the perspective-correct depth
+  numerator d = Σ (1/z_i) L_i, and the constant form (0, 0, area) — all
+  pre-multiplied by sign(area) so the inside test is branch-free.
+* The forms live in (1, f_pad) VMEM scratch rows; the triangle axis streams
+  through the z-min in static chunks of ``chunk``: one [3, chunk] x [3, P]
+  MXU contraction per form group evaluates it at every pixel.
+* Geometry matmuls use a manual bf16x2 scheme: the pixel grid is centered on
+  a static half-integer point (EXACT in bf16; the true principal point is
+  folded into the traced coefficients) and each [3, chunk] slice is split
+  hi/lo by mantissa masking — two default-precision MXU passes reach ~f32
+  accuracy (Mosaic supports neither Precision.HIGH nor a cheap HIGHEST, and
+  a single bf16 pass corrupts sub-pixel geometry).
+* Culling: triangles that are degenerate, outside (near, far), outside the
+  viewport, or backfacing (consistently wound closed meshes; mesh_io
+  reorients OBJ loads) get zeroed forms; per-chunk liveness flags in SMEM
+  scratch let ``@pl.when`` skip fully dead chunks. Culling near/far whole
+  triangles also makes per-pixel depth-range tests unnecessary
+  (perspective-correct depth is bounded by vertex depths).
 * The pixel likelihood is plain elementwise jnp (the same distribution code
   as the CPU path) traced straight into the kernel epilogue.
 """
@@ -47,10 +52,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import quaternions as quat
 from ..camera import CvCamera
 
-__all__ = ["pallas_render_score", "pallas_render_depth", "pose_triangle_coefficients",
-           "expand_triangles"]
+__all__ = ["pallas_render_score", "pallas_render_depth", "expand_triangle_rows"]
 
 LANE = 128
+N_FORMS = 5  # L0, L1, L2 edge functions, depth numerator d, area constant
 
 
 def _grid_center(width, height):
@@ -64,116 +69,32 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def expand_triangles(verts, faces, f_pad: int):
-    """Once per call (NOT per pose): [F, 3, 3] object-space triangle vertices,
-    zero-padded to f_pad (degenerate -> culled by the area test). A single
-    [F]-row gather — the per-pose uv[:, faces] gather this replaces was the
-    dominant cost of the old prepass."""
+def expand_triangle_rows(verts, faces, f_pad: int):
+    """[9, f_pad] triangle-vertex rows (row 3j+k = coordinate k of vertex j),
+    zero-padded (degenerate -> culled by the area test). One [F]-row gather,
+    once per call — never per pose."""
     tri = jnp.asarray(verts)[faces]  # [F, 3, 3]
-    return jnp.pad(tri, ((0, f_pad - tri.shape[0]), (0, 0), (0, 0)))
+    rows = tri.reshape(tri.shape[0], 9).T  # [9, F]
+    return jnp.pad(rows, ((0, 0), (0, f_pad - tri.shape[0])))
 
 
-def pose_triangle_coefficients(tri_verts, cam: CvCamera, t, q,
-                               width: int, height: int, chunk: int,
-                               backface_cull: bool = True):
-    """Per-(pose, triangle) linear forms + per-chunk liveness, gather-free.
+def _camera_row(cam: CvCamera, width, height):
+    """Traced camera scalars for the kernel: fx, fy, s, cx_off, cy_off, pad."""
+    gc_x, gc_y = _grid_center(width, height)
+    return jnp.stack([
+        jnp.float32(cam.f_x), jnp.float32(cam.f_y), jnp.float32(cam.s),
+        jnp.float32(cam.c_x) - gc_x, jnp.float32(cam.c_y) - gc_y,
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+    ])[None, :]
 
-    ``tri_verts``: [f_pad, 3, 3] from :func:`expand_triangles`.
-    Returns (coefs [N, 3, 5*f_pad], live [N, n_chunks] int32): 5 column
-    groups — L0, L1, L2 (edge functions), d (depth numerator), and the
-    constant form (0, 0, |area|) — all pre-multiplied by sign(area); culled
-    triangles are zeroed.
 
-    ``backface_cull`` assumes a consistently outward-wound closed mesh (all
-    procedural meshes are; mesh_io reorients OBJ loads): back faces cannot
-    win the z-min, so dropping them is exact. With the OpenCV y-down
-    convention, front faces have negative screen signed area.
-    """
-    dtype = tri_verts.dtype
+def _pose_rows(t, q):
+    """[N, 1, 8] pose scalars: tx ty tz qw qx qy qz pad (middle singleton so
+    the SMEM block's last two dims equal the array dims)."""
     n = t.shape[0]
-    f_pad = tri_verts.shape[0]
-    n_chunks = f_pad // chunk
-    # static grid center: kernel pixel coords (i - gc) are EXACT in bf16
-    # (half-integers < 128), so the bf16x2 hi/lo coefficient split reaches
-    # ~f32 dot accuracy in two default-precision MXU passes (Mosaic supports
-    # neither HIGH nor cheap HIGHEST); the (traced) principal point enters
-    # through the coefficients only
-    cx_snap, cy_snap = _grid_center(width, height)
-
-    # pose transform: [N, f_pad, 3verts, 3] = R[n] @ v + t[n] — dense einsum
-    rot = quat.quat_to_matrix(q)  # [N, 3, 3]
-    v_cam = jnp.einsum("nij,fvj->nfvi", rot, tri_verts,
-                       precision=jax.lax.Precision.HIGHEST) + t[:, None, None, :]
-    x, y, z = v_cam[..., 0], v_cam[..., 1], v_cam[..., 2]
-    safe_z = jnp.where(z > cam.near, z, jnp.asarray(cam.near, dtype))
-    u = cam.f_x * x / safe_z + cam.s * y / safe_z + (cam.c_x - cx_snap)
-    v = cam.f_y * y / safe_z + (cam.c_y - cy_snap)
-
-    u0, u1, u2 = u[..., 0], u[..., 1], u[..., 2]
-    v0, v1, v2 = v[..., 0], v[..., 1], v[..., 2]
-
-    def edge(ua, va, ub, vb):
-        return -(vb - va), ub - ua, (vb - va) * ua - (ub - ua) * va
-
-    a0, b0, c0 = edge(u1, v1, u2, v2)
-    a1, b1, c1 = edge(u2, v2, u0, v0)
-    a2, b2, c2 = edge(u0, v0, u1, v1)
-    area = a2 * u2 + b2 * v2 + c2
-
-    inv_z = 1.0 / z
-    d_a = inv_z[..., 0] * a0 + inv_z[..., 1] * a1 + inv_z[..., 2] * a2
-    d_b = inv_z[..., 0] * b0 + inv_z[..., 1] * b1 + inv_z[..., 2] * b2
-    d_c = inv_z[..., 0] * c0 + inv_z[..., 1] * c1 + inv_z[..., 2] * c2
-
-    # viewport bbox overlap test (centered coords)
-    lo_u, hi_u = -cx_snap - 0.5, width - 1 - cx_snap + 0.5
-    lo_v, hi_v = -cy_snap - 0.5, height - 1 - cy_snap + 0.5
-    in_view = (
-        (jnp.minimum(jnp.minimum(u0, u1), u2) <= hi_u)
-        & (jnp.maximum(jnp.maximum(u0, u1), u2) >= lo_u)
-        & (jnp.minimum(jnp.minimum(v0, v1), v2) <= hi_v)
-        & (jnp.maximum(jnp.maximum(v0, v1), v2) >= lo_v)
-    )
-    # near AND far vertex culling: interpolated depth is then bounded by the
-    # vertex depths, so the kernel needs no per-pixel near/far checks
-    valid = (
-        (jnp.abs(area) > 1e-9)
-        & jnp.all((z > cam.near) & (z < cam.far), axis=-1)
-        & in_view
-    )
-    if backface_cull:
-        valid = valid & (area < 0)
-
-    sign = jnp.where(valid, jnp.sign(area), 0.0)
-    live = jnp.any(valid.reshape(n, n_chunks, chunk), axis=-1).astype(jnp.int32)
-
-    # stack forms [N, 5, 3, f_pad] (sign-premultiplied), then -> [N, 3, 5*f_pad]
-    forms = jnp.stack(
-        [
-            jnp.stack([a0, b0, c0], axis=1),
-            jnp.stack([a1, b1, c1], axis=1),
-            jnp.stack([a2, b2, c2], axis=1),
-            jnp.stack([d_a, d_b, d_c], axis=1),
-        ],
-        axis=1,
-    )  # [N, 4, 3, f_pad]
-    forms = forms * sign[:, None, None, :]
-    zero = jnp.zeros_like(area)
-    area_row = jnp.stack([zero, zero, jnp.abs(area) * jnp.abs(sign)], axis=1)  # [N,3,Fp]
-    forms = jnp.concatenate([forms, area_row[:, None, :, :]], axis=1)  # [N,5,3,Fp]
-    coefs = jnp.transpose(forms, (0, 2, 1, 3)).reshape(n, 3, 5 * f_pad)
-    # bf16x2 split: hi + lo reconstructs coefs to ~2^-16 relative; validated
-    # against an f64 golden rasterizer at <=1.3e-5 absolute depth error.
-    # CRITICAL: the split must be computed by mantissa masking, NOT as
-    # coefs - f32(bf16(coefs)) — XLA's excess-precision simplification can
-    # fold the convert round-trip and silently zero `lo` (observed: the same
-    # code produced lo==0 when jitted standalone). The masked hi is exactly
-    # bf16-representable, and the subtraction has no convert pair to elide.
-    bits = jax.lax.bitcast_convert_type(coefs, jnp.uint32)
-    hi_f32 = jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000), jnp.float32)
-    hi = hi_f32.astype(jnp.bfloat16)
-    lo = (coefs - hi_f32).astype(jnp.bfloat16)
-    return hi, lo, live
+    return jnp.concatenate(
+        [t.astype(jnp.float32), q.astype(jnp.float32),
+         jnp.zeros((n, 1), jnp.float32)], axis=1)[:, None, :]
 
 
 def _interpret_mode() -> bool:
@@ -181,79 +102,186 @@ def _interpret_mode() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+def _bf16_split(x):
+    """Fold-proof hi/lo split: hi has the low 16 mantissa bits zeroed (exactly
+    bf16-representable), lo = x - hi. Never compute this as
+    x - f32(bf16(x)) — XLA's excess-precision pass folds it to zero."""
+    bits = pltpu.bitcast(x, jnp.uint32) if not _interpret_mode() else (
+        jax.lax.bitcast_convert_type(x, jnp.uint32))
+    hi_f32 = (
+        pltpu.bitcast(bits & jnp.uint32(0xFFFF0000), jnp.float32)
+        if not _interpret_mode()
+        else jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    )
+    return hi_f32.astype(jnp.bfloat16), (x - hi_f32).astype(jnp.bfloat16)
+
+
 def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
-                 score_fn=None, with_mu=False):
-    """Kernel body; args: scalar-prefetched [N, n_chunks] liveness, then the
-    bf16 hi/lo coefficient splits. ``score_fn(mu, z, prior_o) -> (ell_px, o)``
-    elementwise; None -> render. near/far are static floats."""
+                 backface_cull, score_fn=None, with_mu=False):
+    """Kernel body. Refs: cam (SMEM [1,8]), pose (SMEM [1,8]), tri (VMEM
+    [9,f_pad]) [, z (VMEM [1,p_pad]), prior (VMEM [1,p_pad])], outputs, then
+    scratch: forms (VMEM [8, 2*f_pad]... see below), live (SMEM [n_chunks]),
+    mind (VMEM [1,p_pad]).
+
+    Forms scratch layout: one (1, f_pad) row per linear-form coefficient —
+    15 rows stored as a (16, f_pad) f32 scratch would need unaligned sublane
+    stores, so instead we use 5 scratches of (8, f_pad): rows 0..2 = (a, b, c)
+    of that group. Row slices [0:3] are tile-aligned.
+    """
     n_chunks = f_pad // chunk
-    big = float("inf")
     gc_x, gc_y = _grid_center(width, height)
+    big = float("inf")
 
     def grid_rows():
-        # half-integer coords relative to the static grid center are EXACT in
-        # bf16 for |coord| < 128 -> the hi/lo dots lose nothing
         idx = jax.lax.broadcasted_iota(jnp.int32, (1, p_pad), 1)
-        u = jnp.where(idx < n_pix_valid, idx % width, -1).astype(jnp.float32)
-        v = jnp.where(idx < n_pix_valid, idx // width, -1).astype(jnp.float32)
-        u = u - gc_x
-        v = v - gc_y
+        u = jnp.where(idx < n_pix_valid, idx % width, -1).astype(jnp.float32) - gc_x
+        v = jnp.where(idx < n_pix_valid, idx // width, -1).astype(jnp.float32) - gc_y
         ones = jnp.ones((1, p_pad), jnp.float32)
         return jnp.concatenate([u, v, ones], axis=0).astype(jnp.bfloat16)
 
-    def raster(live_ref, hi_ref, lo_ref, mind_ref):
+    def build_forms(cam_ref, pose_ref, tri_ref, form_refs, live_ref):
+        """Transform + project + linear forms, all on (1, f_pad) rows."""
+        fx, fy, sk = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+        cx_off, cy_off = cam_ref[0, 3], cam_ref[0, 4]
+        tx, ty, tz = pose_ref[0, 0, 0], pose_ref[0, 0, 1], pose_ref[0, 0, 2]
+        qw, qx, qy, qz = (pose_ref[0, 0, 3], pose_ref[0, 0, 4], pose_ref[0, 0, 5],
+                          pose_ref[0, 0, 6])
+        # rotation matrix scalars from the quaternion
+        r00 = 1 - 2 * (qy * qy + qz * qz)
+        r01 = 2 * (qx * qy - qw * qz)
+        r02 = 2 * (qx * qz + qw * qy)
+        r10 = 2 * (qx * qy + qw * qz)
+        r11 = 1 - 2 * (qx * qx + qz * qz)
+        r12 = 2 * (qy * qz - qw * qx)
+        r20 = 2 * (qx * qz - qw * qy)
+        r21 = 2 * (qy * qz + qw * qx)
+        r22 = 1 - 2 * (qx * qx + qy * qy)
+
+        u = [None] * 3
+        v = [None] * 3
+        z = [None] * 3
+        for j in range(3):
+            vx = tri_ref[3 * j : 3 * j + 1, :]
+            vy = tri_ref[3 * j + 1 : 3 * j + 2, :]
+            vz = tri_ref[3 * j + 2 : 3 * j + 3, :]
+            x = r00 * vx + r01 * vy + r02 * vz + tx
+            y = r10 * vx + r11 * vy + r12 * vz + ty
+            zz = r20 * vx + r21 * vy + r22 * vz + tz
+            inv = 1.0 / jnp.where(zz > near, zz, near)
+            u[j] = (fx * x + sk * y) * inv + cx_off
+            v[j] = fy * y * inv + cy_off
+            z[j] = zz
+
+        def edge(ua, va, ub, vb):
+            return -(vb - va), ub - ua, (vb - va) * ua - (ub - ua) * va
+
+        a0, b0, c0 = edge(u[1], v[1], u[2], v[2])
+        a1, b1, c1 = edge(u[2], v[2], u[0], v[0])
+        a2, b2, c2 = edge(u[0], v[0], u[1], v[1])
+        area = a2 * u[2] + b2 * v[2] + c2
+
+        iz0 = 1.0 / z[0]
+        iz1 = 1.0 / z[1]
+        iz2 = 1.0 / z[2]
+        d_a = iz0 * a0 + iz1 * a1 + iz2 * a2
+        d_b = iz0 * b0 + iz1 * b1 + iz2 * b2
+        d_c = iz0 * c0 + iz1 * c1 + iz2 * c2
+
+        # u, v are already in grid-centered coordinates (cx_off folded in)
+        lo_u, hi_u = -gc_x - 0.5, width - 1 - gc_x + 0.5
+        lo_v, hi_v = -gc_y - 0.5, height - 1 - gc_y + 0.5
+        in_view = (
+            (jnp.minimum(jnp.minimum(u[0], u[1]), u[2]) <= hi_u)
+            & (jnp.maximum(jnp.maximum(u[0], u[1]), u[2]) >= lo_u)
+            & (jnp.minimum(jnp.minimum(v[0], v[1]), v[2]) <= hi_v)
+            & (jnp.maximum(jnp.maximum(v[0], v[1]), v[2]) >= lo_v)
+        )
+        z_ok = ((z[0] > near) & (z[0] < far) & (z[1] > near) & (z[1] < far)
+                & (z[2] > near) & (z[2] < far))
+        valid = (jnp.abs(area) > 1e-9) & z_ok & in_view
+        if backface_cull:
+            valid = valid & (area < 0)
+        sign = jnp.where(valid, jnp.sign(area), 0.0)
+
+        groups = [
+            (a0 * sign, b0 * sign, c0 * sign),
+            (a1 * sign, b1 * sign, c1 * sign),
+            (a2 * sign, b2 * sign, c2 * sign),
+            (d_a * sign, d_b * sign, d_c * sign),
+            (jnp.zeros_like(area), jnp.zeros_like(area), jnp.abs(area * sign)),
+        ]
+        for g, (ra, rb, rc) in enumerate(groups):
+            form_refs[g][0:1, :] = ra
+            form_refs[g][1:2, :] = rb
+            form_refs[g][2:3, :] = rc
+
+        # per-chunk liveness scalars into SMEM (c is static: slices are static)
+        validf = valid.astype(jnp.float32)
+        for c in range(n_chunks):
+            live_ref[c] = jnp.max(validf[0:1, c * chunk:(c + 1) * chunk]).astype(
+                jnp.int32)
+
+    def raster(cam_ref, pose_ref, tri_ref, form_refs, live_ref, mind_ref):
+        build_forms(cam_ref, pose_ref, tri_ref, form_refs, live_ref)
         grid = grid_rows()
         mind_ref[:] = jnp.full((1, p_pad), big, jnp.float32)
-        i = pl.program_id(0)
 
         for c in range(n_chunks):
 
-            @pl.when(live_ref[i, c] > 0)
+            @pl.when(live_ref[c] > 0)
             def _():
                 def group(g):
-                    sl = pl.ds(g * f_pad + c * chunk, chunk)
+                    lhs = form_refs[g][0:3, pl.ds(c * chunk, chunk)]  # [3,chunk] f32
+                    hi, lo = _bf16_split(lhs)
 
-                    def dot(ref):
+                    def dot(m):
                         return jax.lax.dot_general(
-                            ref[0, :, sl], grid, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )  # [chunk, p_pad]
+                            m, grid, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
 
-                    return dot(hi_ref) + dot(lo_ref)
+                    return dot(hi) + dot(lo)  # [chunk, p_pad]
 
-                w0, w1, w2, d, areav = (group(g) for g in range(5))
-                # epsilon-tolerant fill (see rasterize.py): avoids cracks on
-                # shared edges under f32 jitter. No per-pixel near/far test:
-                # culling rejected any triangle with a vertex outside
-                # (near, far), and perspective-correct depth is bounded by
-                # the vertex depths.
+                w0, w1, w2, d, areav = (group(g) for g in range(N_FORMS))
                 inside = (jnp.minimum(jnp.minimum(w0, w1), w2) >= -1e-5 * areav) & (
                     areav > 0
                 )
-                # approx reciprocal: 2^-12 relative depth error (validated
-                # p99 2.4e-5 vs the exact divide on TPU), ~5% faster; the
-                # interpret-mode emulation is coarser, so CPU tests divide
                 if _interpret_mode():
                     depth = areav / d
                 else:
+                    # approx reciprocal: 2^-12 relative depth error (p99
+                    # 2.4e-5 validated vs the exact divide), ~5% faster
                     depth = areav * pl.reciprocal(d, approx=True)
                 cand = jnp.where(inside, depth, big)
-                chunk_min = jnp.min(cand, axis=0, keepdims=True)  # [1, p_pad]
-                mind_ref[:] = jnp.minimum(mind_ref[:], chunk_min)
+                mind_ref[:] = jnp.minimum(mind_ref[:], jnp.min(cand, axis=0,
+                                                               keepdims=True))
 
         mind = mind_ref[:]
         return jnp.where(jnp.isfinite(mind), mind, 0.0)
 
+    n_form_scratch = N_FORMS
+
     if score_fn is None:
 
-        def render_kernel(live_ref, hi_ref, lo_ref, mu_ref, mind_ref):
-            mu_ref[0] = raster(live_ref, hi_ref, lo_ref, mind_ref)
+        def render_kernel(cam_ref, pose_ref, tri_ref, mu_ref, *scratch):
+            form_refs = scratch[:n_form_scratch]
+            live_ref = scratch[n_form_scratch]
+            mind_ref = scratch[n_form_scratch + 1]
+            mu_ref[0] = raster(cam_ref, pose_ref, tri_ref, form_refs, live_ref,
+                               mind_ref)
 
         return render_kernel
 
-    def score_kernel(live_ref, hi_ref, lo_ref, z_ref, prior_ref, ell_ref,
-                     sumo_ref, mind_ref, *maybe_mu):
-        mu = raster(live_ref, hi_ref, lo_ref, mind_ref)
+    def score_kernel(cam_ref, pose_ref, tri_ref, z_ref, prior_ref, ell_ref,
+                     sumo_ref, *rest):
+        if with_mu:
+            mu_ref = rest[0]
+            scratch = rest[1:]
+        else:
+            scratch = rest
+        form_refs = scratch[:n_form_scratch]
+        live_ref = scratch[n_form_scratch]
+        mind_ref = scratch[n_form_scratch + 1]
+        mu = raster(cam_ref, pose_ref, tri_ref, form_refs, live_ref, mind_ref)
         z = z_ref[:]
         prior_o = prior_ref[:]
         ell_px, o = score_fn(mu, z, prior_o)
@@ -262,22 +290,21 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         ell_ref[0] = jnp.sum(jnp.where(pixmask, ell_px, 0.0)).reshape(1, 1)
         sumo_ref[0] = jnp.sum(jnp.where(pixmask, o, 0.0)).reshape(1, 1)
         if with_mu:
-            maybe_mu[0][0] = mu
+            mu_ref[0] = mu
 
     return score_kernel
 
 
-def _prep(verts, faces, cam, t, q, width, height, chunk, backface_cull):
-    f_pad = _round_up(faces.shape[0], chunk)
-    tri_verts = expand_triangles(verts, faces, f_pad)
-    hi, lo, live = pose_triangle_coefficients(
-        tri_verts, cam, t, q, width, height, chunk, backface_cull)
-    return hi, lo, live, f_pad
+def _scratch_shapes(f_pad, n_chunks, p_pad):
+    return (
+        [pltpu.VMEM((8, f_pad), jnp.float32) for _ in range(N_FORMS)]
+        + [pltpu.SMEM((n_chunks,), jnp.int32), pltpu.VMEM((1, p_pad), jnp.float32)]
+    )
 
 
 @partial(jax.jit, static_argnames=("height", "width", "chunk", "backface_cull"))
 def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
-                        height=None, width=None, chunk=256, backface_cull=True):
+                        height=None, width=None, chunk=64, backface_cull=True):
     """Drop-in Pallas replacement for rasterize.render_depth_batch:
     [N] poses -> [N, H, W] z-depth maps (0 = background)."""
     height = cam.height if height is None else height
@@ -285,28 +312,26 @@ def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
     n = t.shape[0]
     n_pix = height * width
     p_pad = _round_up(n_pix, LANE)
+    f_pad = _round_up(faces.shape[0], chunk)
+    n_chunks = f_pad // chunk
 
-    hi, lo, live, f_pad = _prep(verts, faces, cam, t, q, width, height,
-                                chunk, backface_cull)
+    tri_rows = expand_triangle_rows(verts, faces, f_pad)
     kernel = _make_kernel(width, height, p_pad, f_pad, chunk,
-                          float(cam.near), float(cam.far), n_pix)
+                          float(cam.near), float(cam.far), n_pix, backface_cull)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec((1, 3, 5 * f_pad), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 3, 5 * f_pad), lambda i, *_: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, p_pad), lambda i, *_: (i, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((1, p_pad), jnp.float32)],
-    )
     mu = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((9, f_pad), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, p_pad), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, 1, p_pad), jnp.float32),
+        scratch_shapes=_scratch_shapes(f_pad, n_chunks, p_pad),
         interpret=_interpret_mode(),
-    )(live, hi, lo)
+    )(_camera_row(cam, width, height), _pose_rows(t, q), tri_rows)
     return mu[:, 0, :n_pix].reshape(n, height, width)
 
 
@@ -318,9 +343,9 @@ def _flatten_pad_image(img, p_pad):
 @partial(jax.jit, static_argnames=("height", "width", "chunk", "score_fn",
                                    "return_mu", "backface_cull"))
 def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
-                        score_fn, height=None, width=None, chunk=256,
+                        score_fn, height=None, width=None, chunk=64,
                         return_mu=False, backface_cull=True):
-    """Fused render + associate + score.
+    """Fully-fused transform + render + associate + score.
 
     ``score_fn(mu, z, prior_o) -> (ell_px, o)``: elementwise per-pixel log
     density and association probability (static — compiled into the kernel).
@@ -333,16 +358,16 @@ def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
     n = t.shape[0]
     n_pix = height * width
     p_pad = _round_up(n_pix, LANE)
+    f_pad = _round_up(faces.shape[0], chunk)
+    n_chunks = f_pad // chunk
 
-    hi, lo, live, f_pad = _prep(verts, faces, cam, t, q, width, height,
-                                chunk, backface_cull)
+    tri_rows = expand_triangle_rows(verts, faces, f_pad)
     z_row = _flatten_pad_image(z_img.astype(jnp.float32), p_pad)
     prior_row = _flatten_pad_image(
         jnp.broadcast_to(jnp.asarray(prior_o, jnp.float32), (height, width)), p_pad
     )
-
     kernel = _make_kernel(width, height, p_pad, f_pad, chunk,
-                          float(cam.near), float(cam.far), n_pix,
+                          float(cam.near), float(cam.far), n_pix, backface_cull,
                           score_fn=score_fn, with_mu=return_mu)
 
     out_shape = [
@@ -350,31 +375,28 @@ def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
         jax.ShapeDtypeStruct((n, 1, 1), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((1, 1, 1), lambda i, *_: (i, 0, 0)),
-        pl.BlockSpec((1, 1, 1), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0)),
     ]
     if return_mu:
         out_shape.append(jax.ShapeDtypeStruct((n, 1, p_pad), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 1, p_pad), lambda i, *_: (i, 0, 0)))
+        out_specs.append(pl.BlockSpec((1, 1, p_pad), lambda i: (i, 0, 0)))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec((1, 3, 5 * f_pad), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 3, 5 * f_pad), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, p_pad), lambda i, *_: (0, 0)),
-            pl.BlockSpec((1, p_pad), lambda i, *_: (0, 0)),
-        ],
-        out_specs=tuple(out_specs),
-        scratch_shapes=[pltpu.VMEM((1, p_pad), jnp.float32)],
-    )
     outs = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((9, f_pad), lambda i: (0, 0)),
+            pl.BlockSpec((1, p_pad), lambda i: (0, 0)),
+            pl.BlockSpec((1, p_pad), lambda i: (0, 0)),
+        ],
+        out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        scratch_shapes=_scratch_shapes(f_pad, n_chunks, p_pad),
         interpret=_interpret_mode(),
-    )(live, hi, lo, z_row, prior_row)
+    )(_camera_row(cam, width, height), _pose_rows(t, q), tri_rows, z_row, prior_row)
 
     ell = outs[0][:, 0, 0]
     sumo = outs[1][:, 0, 0]
