@@ -12,6 +12,8 @@ python scripts/smc_benchmark.py --scenes 1 --particles 50 100 --budgets 0.25 0.5
 python scripts/smc_mh_hyperopt.py --trials 4 --scenes 1
 python scripts/inference_time.py --particles 10 100 500 --resolutions 25 50
 python scripts/ros_particle_filter.py --filter coordinate --n-frames 120
-python scripts/ros_particle_filter.py --filter bootstrap --n-frames 120
+# joint 7-DoF bootstrap needs more particles than the block-wise coordinate
+# filter (the reference notes it 'tends to diverge', ExperimentSamplers.jl:122)
+python scripts/ros_particle_filter.py --filter bootstrap --n-frames 120 --n-particles 2000
 python scripts/demo_inference.py --fused
 python bench.py
