@@ -21,15 +21,24 @@ Kernel design (TPU v5e, see /opt/skills/guides/pallas_guide.md):
   (u, v, 1) — the three edge functions, the perspective-correct depth
   numerator d = Σ (1/z_i) L_i, and the constant form (0, 0, area) — all
   pre-multiplied by sign(area) so the inside test is branch-free.
+* Every form is pre-divided by the signed area: the inside test becomes
+  ``min(w0', w1', w2') >= -1e-5`` (algebraically identical to the relative
+  test ``w·sign >= -1e-5·|area|``) and the depth-numerator form becomes
+  1/depth directly, so the per-pixel z-min is a running MAX over d' with a
+  single exact divide per pixel after the chunk loop — no per-(triangle,
+  pixel) reciprocal, and the constant area form disappears.
 * The forms live in (1, f_pad) VMEM scratch rows; the triangle axis streams
-  through the z-min in static chunks of ``chunk``: one [3, chunk] x [3, P]
-  MXU contraction per form group evaluates it at every pixel.
+  through in static chunks of ``chunk``: ONE [6, 4*chunk] x [6, P] MXU
+  contraction per chunk evaluates all four form groups (concatenated along
+  the M axis) at every pixel.
 * Geometry matmuls use a manual bf16x2 scheme: the pixel grid is centered on
   a static half-integer point (EXACT in bf16; the true principal point is
   folded into the traced coefficients) and each [3, chunk] slice is split
-  hi/lo by mantissa masking — two default-precision MXU passes reach ~f32
-  accuracy (Mosaic supports neither Precision.HIGH nor a cheap HIGHEST, and
-  a single bf16 pass corrupts sub-pixel geometry).
+  hi/lo by mantissa masking. The lo correction rides the SAME contraction:
+  the MXU pads K=3 anyway, so rows 3-5 hold the lo coefficients against a
+  duplicated grid — ~f32 accuracy at the cost of ONE default-precision pass
+  (Mosaic supports neither Precision.HIGH nor a cheap HIGHEST, and a single
+  bf16 pass corrupts sub-pixel geometry).
 * Culling: triangles that are degenerate, outside (near, far), outside the
   viewport, or backfacing (consistently wound closed meshes; mesh_io
   reorients OBJ loads) get zeroed forms; per-chunk liveness flags in SMEM
@@ -55,7 +64,7 @@ from ..camera import CvCamera
 __all__ = ["pallas_render_score", "pallas_render_depth", "expand_triangle_rows"]
 
 LANE = 128
-N_FORMS = 5  # L0, L1, L2 edge functions, depth numerator d, area constant
+N_FORMS = 4  # L0/area, L1/area, L2/area edge functions, 1/depth form d/area
 
 
 def _grid_center(width, height):
@@ -121,11 +130,11 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
     """Kernel body. Refs: cam (SMEM [1,8]), pose (SMEM [1,8]), tri (VMEM
     [9,f_pad]) [, z (VMEM [1,p_pad]), prior (VMEM [1,p_pad])], outputs, then
     scratch: forms (VMEM [8, 2*f_pad]... see below), live (SMEM [n_chunks]),
-    mind (VMEM [1,p_pad]).
+    maxd (VMEM [1,p_pad]).
 
     Forms scratch layout: one (1, f_pad) row per linear-form coefficient —
-    15 rows stored as a (16, f_pad) f32 scratch would need unaligned sublane
-    stores, so instead we use 5 scratches of (8, f_pad): rows 0..2 = (a, b, c)
+    12 rows stored as one (16, f_pad) f32 scratch would need unaligned sublane
+    stores, so instead we use 4 scratches of (8, f_pad): rows 0..2 = (a, b, c)
     of that group. Row slices [0:3] are tile-aligned.
     """
     n_chunks = f_pad // chunk
@@ -137,7 +146,9 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         u = jnp.where(idx < n_pix_valid, idx % width, -1).astype(jnp.float32) - gc_x
         v = jnp.where(idx < n_pix_valid, idx // width, -1).astype(jnp.float32) - gc_y
         ones = jnp.ones((1, p_pad), jnp.float32)
-        return jnp.concatenate([u, v, ones], axis=0).astype(jnp.bfloat16)
+        one_grid = jnp.concatenate([u, v, ones], axis=0).astype(jnp.bfloat16)
+        # duplicated grid: rows 0-2 hit the hi coefficients, rows 3-5 the lo
+        return jnp.concatenate([one_grid, one_grid], axis=0)  # [6, p_pad]
 
     def build_forms(cam_ref, pose_ref, tri_ref, form_refs, live_ref):
         """Transform + project + linear forms, all on (1, f_pad) rows."""
@@ -201,14 +212,16 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         valid = (jnp.abs(area) > 1e-9) & z_ok & in_view
         if backface_cull:
             valid = valid & (area < 0)
-        sign = jnp.where(valid, jnp.sign(area), 0.0)
+        # Pre-divide every form by the signed area (= sign/|area|): the inside
+        # test gets a constant rhs and the d group becomes 1/depth; culled
+        # triangles get zero forms (inside-true but d' = 0, lost to the max).
+        factor = jnp.where(valid, 1.0 / jnp.where(valid, area, 1.0), 0.0)
 
         groups = [
-            (a0 * sign, b0 * sign, c0 * sign),
-            (a1 * sign, b1 * sign, c1 * sign),
-            (a2 * sign, b2 * sign, c2 * sign),
-            (d_a * sign, d_b * sign, d_c * sign),
-            (jnp.zeros_like(area), jnp.zeros_like(area), jnp.abs(area * sign)),
+            (a0 * factor, b0 * factor, c0 * factor),
+            (a1 * factor, b1 * factor, c1 * factor),
+            (a2 * factor, b2 * factor, c2 * factor),
+            (d_a * factor, d_b * factor, d_c * factor),
         ]
         for g, (ra, rb, rc) in enumerate(groups):
             form_refs[g][0:1, :] = ra
@@ -221,42 +234,40 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
             live_ref[c] = jnp.max(validf[0:1, c * chunk:(c + 1) * chunk]).astype(
                 jnp.int32)
 
-    def raster(cam_ref, pose_ref, tri_ref, form_refs, live_ref, mind_ref):
+    def raster(cam_ref, pose_ref, tri_ref, form_refs, live_ref, maxd_ref):
         build_forms(cam_ref, pose_ref, tri_ref, form_refs, live_ref)
         grid = grid_rows()
-        mind_ref[:] = jnp.full((1, p_pad), big, jnp.float32)
+        maxd_ref[:] = jnp.zeros((1, p_pad), jnp.float32)
 
         for c in range(n_chunks):
 
             @pl.when(live_ref[c] > 0)
             def _():
-                def group(g):
-                    lhs = form_refs[g][0:3, pl.ds(c * chunk, chunk)]  # [3,chunk] f32
-                    hi, lo = _bf16_split(lhs)
-
-                    def dot(m):
-                        return jax.lax.dot_general(
-                            m, grid, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-
-                    return dot(hi) + dot(lo)  # [chunk, p_pad]
-
-                w0, w1, w2, d, areav = (group(g) for g in range(N_FORMS))
-                inside = (jnp.minimum(jnp.minimum(w0, w1), w2) >= -1e-5 * areav) & (
-                    areav > 0
-                )
-                if _interpret_mode():
-                    depth = areav / d
-                else:
-                    # approx reciprocal: 2^-12 relative depth error (p99
-                    # 2.4e-5 validated vs the exact divide), ~5% faster
-                    depth = areav * pl.reciprocal(d, approx=True)
-                cand = jnp.where(inside, depth, big)
-                mind_ref[:] = jnp.minimum(mind_ref[:], jnp.min(cand, axis=0,
+                his, los = [], []
+                for g in range(N_FORMS):
+                    hi, lo = _bf16_split(
+                        form_refs[g][0:3, pl.ds(c * chunk, chunk)])
+                    his.append(hi)
+                    los.append(lo)
+                # [6, 4*chunk]: groups along M, lo correction along K (the
+                # MXU pads K=3 anyway — the lo pass is free)
+                lhs = jnp.concatenate(
+                    [jnp.concatenate(his, axis=1),
+                     jnp.concatenate(los, axis=1)], axis=0)
+                out = jax.lax.dot_general(
+                    lhs, grid, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [4*chunk, p_pad]
+                w0 = out[0 * chunk:1 * chunk]
+                w1 = out[1 * chunk:2 * chunk]
+                w2 = out[2 * chunk:3 * chunk]
+                d = out[3 * chunk:4 * chunk]
+                inside = jnp.minimum(jnp.minimum(w0, w1), w2) >= -1e-5
+                cand = jnp.where(inside, d, 0.0)  # d = 1/depth > 0 when live
+                maxd_ref[:] = jnp.maximum(maxd_ref[:], jnp.max(cand, axis=0,
                                                                keepdims=True))
 
-        mind = mind_ref[:]
-        return jnp.where(jnp.isfinite(mind), mind, 0.0)
+        maxd = maxd_ref[:]
+        return jnp.where(maxd > 0, 1.0 / jnp.where(maxd > 0, maxd, 1.0), 0.0)
 
     n_form_scratch = N_FORMS
 
@@ -265,9 +276,9 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         def render_kernel(cam_ref, pose_ref, tri_ref, mu_ref, *scratch):
             form_refs = scratch[:n_form_scratch]
             live_ref = scratch[n_form_scratch]
-            mind_ref = scratch[n_form_scratch + 1]
+            maxd_ref = scratch[n_form_scratch + 1]
             mu_ref[0] = raster(cam_ref, pose_ref, tri_ref, form_refs, live_ref,
-                               mind_ref)
+                               maxd_ref)
 
         return render_kernel
 
@@ -280,8 +291,8 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
             scratch = rest
         form_refs = scratch[:n_form_scratch]
         live_ref = scratch[n_form_scratch]
-        mind_ref = scratch[n_form_scratch + 1]
-        mu = raster(cam_ref, pose_ref, tri_ref, form_refs, live_ref, mind_ref)
+        maxd_ref = scratch[n_form_scratch + 1]
+        mu = raster(cam_ref, pose_ref, tri_ref, form_refs, live_ref, maxd_ref)
         z = z_ref[:]
         prior_o = prior_ref[:]
         ell_px, o = score_fn(mu, z, prior_o)
@@ -304,7 +315,7 @@ def _scratch_shapes(f_pad, n_chunks, p_pad):
 
 @partial(jax.jit, static_argnames=("height", "width", "chunk", "backface_cull"))
 def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
-                        height=None, width=None, chunk=64, backface_cull=True):
+                        height=None, width=None, chunk=128, backface_cull=True):
     """Drop-in Pallas replacement for rasterize.render_depth_batch:
     [N] poses -> [N, H, W] z-depth maps (0 = background)."""
     height = cam.height if height is None else height
@@ -343,7 +354,7 @@ def _flatten_pad_image(img, p_pad):
 @partial(jax.jit, static_argnames=("height", "width", "chunk", "score_fn",
                                    "return_mu", "backface_cull"))
 def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
-                        score_fn, height=None, width=None, chunk=64,
+                        score_fn, height=None, width=None, chunk=128,
                         return_mu=False, backface_cull=True):
     """Fully-fused transform + render + associate + score.
 

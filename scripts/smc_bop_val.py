@@ -47,8 +47,25 @@ def scene_inference(config, bop_dir, parameters):
 
     dataset, testset, scene_id = config["dataset"], config["testset"], config["scene_id"]
     sampler_name = config["sampler"]
+    # Ablation axes (defaults reproduce the BOP-submission configuration):
+    # variant  — posterior observation model (smc_observation.jl ablation)
+    # prior    — translation prior source:  mask (segmentation point),
+    #            point (noisy RFID-style gt), point_mask (smc_priors.jl)
+    # o_prior  — pixel association prior:   mask image or flat 0.5
+    # resolution / mode — crop size sweep at fixed time or fixed steps
+    #            (smc_mh_resolution.jl)
+    variant = config.get("variant", "association")
+    prior_mode = config.get("prior", "mask")
+    # flat = uninformed 0.5 (smc_observation.jl:113); flat_is = scalar
+    # o_mask_is, used when only a point prior is available (smc_priors.jl:46)
+    o_mode = config.get("o_prior", "flat_is" if prior_mode == "point" else "mask")
+    if "resolution" in config:
+        res = int(config["resolution"])
+        parameters = parameters.replace(width=res, height=res)
+    fixed_steps = config.get("mode") == "steps"
     df = bop.bop_test_or_train(bop_dir, dataset, testset, scene_id)
     key = jax.random.PRNGKey(parameters.seed % (2**31))
+    noise_rng = np.random.default_rng()  # intentionally unseeded (smc_priors.jl)
     sampler_factory = getattr(es, sampler_name)
     # MCMC baselines (mh/mtm) are single chains — n_particles configures the
     # particle/try count of the sampler itself, not a chain batch (parity:
@@ -57,7 +74,7 @@ def scene_inference(config, bop_dir, parameters):
     n_chains = 1 if is_mcmc else parameters.n_particles
 
     rows = []
-    calibrated_steps = None
+    calibrated_steps = step_time = None
     runners = {}  # one compiled chain per object (mesh shape)
     for _, row in df.iterrows():
         depth_img, mask_img, mesh = load_img_mesh(row, parameters)
@@ -65,14 +82,23 @@ def scene_inference(config, bop_dir, parameters):
         full_cam = bop.camera_for_row(row)
         full_depth = bop.load_depth_image(row)
         full_mask = bop.load_mask_image(row)
-        ys, xs = np.nonzero(np.asarray(full_mask))
-        bbox = (xs.min(), xs.max(), ys.min(), ys.max()) if xs.size else (0, 1, 0, 1)
-        prior_t = point_from_segmentation(bbox, full_depth, full_mask, full_cam)
+        if prior_mode in ("point", "point_mask"):
+            # RFID-tag-style position prior: gt + 5mm noise (smc_priors.jl)
+            prior_t = np.asarray(row.gt_t, np.float32) + noise_rng.normal(
+                0.0, 0.005, 3).astype(np.float32)
+        else:
+            ys, xs = np.nonzero(np.asarray(full_mask))
+            bbox = (xs.min(), xs.max(), ys.min(), ys.max()) if xs.size else (0, 1, 0, 1)
+            prior_t = point_from_segmentation(bbox, full_depth, full_mask, full_cam)
         cam = crop_camera(full_cam, prior_t, diameter,
                           width=parameters.width, height=parameters.height)
         obs = crop_image(full_depth, full_cam, cam)
-        mask_crop = crop_image(full_mask, full_cam, cam)
-        prior_o = np.where(mask_crop, parameters.o_mask_is, parameters.o_mask_not)
+        if o_mode in ("flat", "flat_is"):
+            fill = 0.5 if o_mode == "flat" else float(parameters.o_mask_is)
+            prior_o = np.full((parameters.height, parameters.width), fill, np.float32)
+        else:
+            mask_crop = crop_image(full_mask, full_cam, cam)
+            prior_o = np.where(mask_crop, parameters.o_mask_is, parameters.o_mask_not)
 
         if calibrated_steps is None:
             scene = {"camera": cam, "verts": jnp.asarray(mesh.vertices),
@@ -80,11 +106,15 @@ def scene_inference(config, bop_dir, parameters):
             experiment = Experiment(scene=scene, prior_o=jnp.asarray(prior_o, jnp.float32),
                                     prior_t=jnp.asarray(prior_t),
                                     depth_image=jnp.asarray(obs))
-            posterior = fused_posterior(parameters, experiment, "association")
+            posterior = fused_posterior(parameters, experiment, variant)
             probe = sampler_factory(parameters, posterior)
             step_time = mean_step_time(key, posterior, probe,
                                        n_chains, max_seconds=0.5)
-            calibrated_steps = steps_for_time_budget(step_time, parameters.time_budget)
+            if fixed_steps:
+                calibrated_steps = parameters.n_steps
+            else:
+                calibrated_steps = steps_for_time_budget(step_time,
+                                                         parameters.time_budget)
             print(f"  step time {step_time*1e3:.2f} ms -> "
                   f"{calibrated_steps} steps per {parameters.time_budget}s budget")
 
@@ -92,7 +122,7 @@ def scene_inference(config, bop_dir, parameters):
         if obj_key not in runners:
             params_run = parameters.replace(n_steps=calibrated_steps)
             runners[obj_key] = make_conditioned_chain(
-                params_run, mesh.vertices, mesh.faces, "association",
+                params_run, mesh.vertices, mesh.faces, variant,
                 sampler_factory, calibrated_steps, n_chains=n_chains)
         run = runners[obj_key]
 
@@ -127,7 +157,8 @@ def scene_inference(config, bop_dir, parameters):
         ))
         print(f"  scene {row.scene_id} img {row.img_id} obj {row.obj_id}: "
               f"{wall:.2f}s score {best_ll:.1f}")
-    return {"result_rows": rows, "n_steps": calibrated_steps}
+    return {"result_rows": rows, "n_steps": calibrated_steps,
+            "step_time": step_time}
 
 
 def evaluate_scene(config, bop_dir, parameters, result_rows):
