@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--scenes", type=int, nargs="+", default=[1])
     ap.add_argument("--samplers", nargs="+", default=["mh_sampler", "mtm_sampler"])
     ap.add_argument("--time-budget", type=float, default=0.5)
+    # reference runs the MCMC baselines with 10 particles/tries
+    # (mcmc_baseline.jl:43) — for MTM this is the try count
+    ap.add_argument("--n-particles", type=int, default=10)
     args = ap.parse_args()
 
     sys.argv = [sys.argv[0],
@@ -29,6 +32,7 @@ def main():
                 "--scenes", *[str(s) for s in args.scenes],
                 "--samplers", *args.samplers,
                 "--time-budget", str(args.time_budget),
+                "--n-particles", str(args.n_particles),
                 "--experiment-name", "mcmc_baseline"]
     import smc_bop_val
 

@@ -1,0 +1,104 @@
+"""Recall-vs-compute sweep for the MCMC baselines (MH and MTM).
+
+Parity target: /root/reference/scripts/mcmc_benchmark.jl — "Optimal Number of
+Particles and Inference Time": MH samplers run as a single chain
+(n_particles=1, mcmc_benchmark.jl:124), MTM sweeps the try count
+n_particles in {5,10,20,40} (:143), both across pose-time budgets, reporting
+recall vs mean inference time per configuration (:163-226).
+
+    python scripts/mcmc_benchmark.py --scenes 1
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from smc_bop_val import evaluate_scene, scene_inference  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bop-dir", default="data/bop")
+    ap.add_argument("--dataset", default="synth")
+    ap.add_argument("--testset", default="val")
+    ap.add_argument("--scenes", type=int, nargs="+", default=[1])
+    ap.add_argument("--mtm-tries", type=int, nargs="+", default=[5, 10, 20, 40])
+    ap.add_argument("--budgets", type=float, nargs="+", default=[0.25, 0.5])
+    args = ap.parse_args()
+
+    import numpy as np
+    import pandas as pd
+
+    from bayesianposeestimation.jl_tpu.parameters import Parameters
+    from bayesianposeestimation.jl_tpu.utils import evaluation as ev
+    from bayesianposeestimation.jl_tpu.utils.artifacts import (
+        datadir, dict_list, produce_or_load, savename)
+
+    name = "mcmc_benchmark"
+    configs = []
+    for scene_id in args.scenes:
+        for pose_time in args.budgets:
+            configs += dict_list({
+                "sampler": ["mh_sampler", "mh_local_sampler"], "n_particles": 1,
+                "pose_time": pose_time, "dataset": args.dataset,
+                "testset": args.testset, "scene_id": scene_id})
+            configs += dict_list({
+                "sampler": "mtm_sampler", "n_particles": list(args.mtm_tries),
+                "pose_time": pose_time, "dataset": args.dataset,
+                "testset": args.testset, "scene_id": scene_id})
+
+    rows = []
+    for config in configs:
+        parameters = Parameters(
+            n_particles=config["n_particles"], time_budget=config["pose_time"],
+            pixel_sigma=0.005, association_sigma=0.005, o_mask_is=0.9,
+            proposal_sigma_r=(np.pi, np.pi, np.pi), raster_chunk=64,
+        )
+        print(f"config: {config}")
+        result, _ = produce_or_load(
+            lambda c: scene_inference(c, args.bop_dir, parameters),
+            config, datadir("exp_raw", name), filename=savename(config))
+        errors, _ = produce_or_load(
+            lambda c: evaluate_scene(c, args.bop_dir, parameters,
+                                     result["result_rows"]),
+            config, datadir("exp_pro", name, "errors"), filename=savename(config))
+        rows.append(dict(
+            **{k: v for k, v in config.items() if k not in ("dataset", "testset")},
+            adds_recall=ev.recall(*ev.threshold_errors(errors["adds"],
+                                                       ev.ADDS_THETA)),
+            vsd_recall=ev.recall(*ev.threshold_errors(errors["vsd"],
+                                                      ev.BOP18_THETA)),
+            vsdbop_recall=ev.recall(*ev.threshold_errors(
+                errors["vsdbop"], np.asarray(ev.BOP19_THRESHOLDS))),
+            mean_pose_time=float(np.mean([r["time"]
+                                          for r in result["result_rows"]])),
+        ))
+        print(f"  -> VSD recall {rows[-1]['vsd_recall']:.3f}")
+
+    out_dir = datadir("exp_pro", name)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    df = pd.DataFrame(rows)
+    df.to_csv(out_dir / "recall_vs_time.csv", index=False)
+    print(df.to_string(index=False))
+
+    from bayesianposeestimation.jl_tpu.utils.visualization import diss_defaults, _plt
+    diss_defaults()
+    plt = _plt()
+    Path("plots").mkdir(exist_ok=True)
+    fig, ax = plt.subplots(figsize=(5, 3.2))
+    for (sampler, n_p), g in df.groupby(["sampler", "n_particles"]):
+        g = g.sort_values("mean_pose_time")
+        label = sampler if sampler.startswith("mh") else f"{sampler} T={n_p}"
+        ax.plot(g.mean_pose_time, g.vsd_recall, "o-", label=label)
+    ax.set_xlabel("mean inference time [s]")
+    ax.set_ylabel("VSD recall")
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig("plots/mcmc_benchmark_vsd.pdf")
+    print(f"wrote {out_dir/'recall_vs_time.csv'} and plots/mcmc_benchmark_vsd.pdf")
+
+
+if __name__ == "__main__":
+    main()

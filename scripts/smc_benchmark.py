@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--particles", type=int, nargs="+", default=[10, 50, 100, 250])
     ap.add_argument("--budgets", type=float, nargs="+", default=[0.05, 0.1, 0.25, 0.5, 1.2])
     ap.add_argument("--sampler", default="smc_mh")
+    ap.add_argument("--experiment-name", default="smc_benchmark")
     args = ap.parse_args()
 
     import numpy as np
@@ -55,10 +56,10 @@ def main():
         print(f"config: {config}")
         result, _ = produce_or_load(
             lambda c: scene_inference(c, args.bop_dir, parameters),
-            config, datadir("exp_raw", "smc_benchmark"), filename=savename(config))
+            config, datadir("exp_raw", args.experiment_name), filename=savename(config))
         errors, _ = produce_or_load(
             lambda c: evaluate_scene(c, args.bop_dir, parameters, result["result_rows"]),
-            config, datadir("exp_pro", "smc_benchmark", "errors"),
+            config, datadir("exp_pro", args.experiment_name, "errors"),
             filename=savename(config))
         vsd_rec = ev.recall(*ev.threshold_errors(errors["vsd"], ev.BOP18_THETA))
         adds_rec = ev.recall(*ev.threshold_errors(errors["adds"], ev.ADDS_THETA))
@@ -70,7 +71,7 @@ def main():
 
     import pandas as pd
 
-    out = datadir("exp_pro", "smc_benchmark", "recall_vs_budget.csv")
+    out = datadir("exp_pro", args.experiment_name, "recall_vs_budget.csv")
     out.parent.mkdir(parents=True, exist_ok=True)
     pd.DataFrame(rows).to_csv(out, index=False)
     print(f"wrote {out}")
