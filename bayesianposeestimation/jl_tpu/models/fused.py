@@ -70,10 +70,31 @@ def make_score_fn(params, variant: str):
 
         return fn
 
+    if variant == "no_exp":
+        # :no_exp ablation — no occlusion component, fixed o
+        # (smc_observation.jl:60-65)
+        def fn(mu, z, prior_o):
+            o = prior_o
+            ell = P.uniform_pixel_mixture(min_d, max_d, sigma, mu, o).logpdf(z)
+            return ell, o
+
+        return fn
+
+    if variant == "no_exp_association":
+        o_fn = P.uniform_association_fn(params)
+
+        def fn(mu, z, prior_o):
+            o = o_fn(prior_o, mu, z)
+            ell = P.uniform_pixel_mixture(min_d, max_d, sigma, mu, o).logpdf(z)
+            return ell, o
+
+        return fn
+
     raise ValueError(variant)
 
 
-_SIMPLE_REG = ("simple", "association_simple_reg", "smooth_simple_reg", "smooth_simple")
+_SIMPLE_REG = ("simple", "association_simple_reg", "smooth_simple_reg",
+               "smooth_simple", "no_exp", "no_exp_association")
 
 
 class FusedPosterior:

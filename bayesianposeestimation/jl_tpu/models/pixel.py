@@ -42,6 +42,8 @@ __all__ = [
     "pixel_association_fn",
     "truncated_association_fn",
     "smooth_association_fn",
+    "uniform_pixel_mixture",
+    "uniform_association_fn",
     "logdensity_npixel",
     "image_likelihood_normalizer",
     "simple_image_regularization",
@@ -130,6 +132,30 @@ def pixel_association_fn(params):
     def logpdf_not(mu, z):
         return pixel_tail(params.min_depth, params.max_depth, params.pixel_theta,
                           params.association_sigma, mu).logpdf(z)
+
+    def fn(prior, mu, z):
+        return marginalized_association(logpdf_is, logpdf_not, prior, mu, z)
+
+    return fn
+
+
+def uniform_pixel_mixture(min_depth, max_depth, sigma, mu, o):
+    """o * Normal(μ, σ) + (1-o) * TailUniform — the :no_exp ablation model
+    without the exponential occlusion component
+    (parity: /root/reference/scripts/smc_observation.jl:60-65)."""
+    return BinaryMixture(Normal(mu, sigma), TailUniform(min_depth, max_depth),
+                         o, 1.0 - o)
+
+
+def uniform_association_fn(params):
+    """Normal "is" vs TailUniform "not" — no occlusion component
+    (parity: /root/reference/scripts/smc_observation.jl:66-71)."""
+
+    def logpdf_is(mu, z):
+        return pixel_normal(params.association_sigma, mu).logpdf(z)
+
+    def logpdf_not(mu, z):
+        return TailUniform(params.min_depth, params.max_depth).logpdf(z)
 
     def fn(prior, mu, z):
         return marginalized_association(logpdf_is, logpdf_not, prior, mu, z)

@@ -15,6 +15,8 @@ Mapping onto this framework's fused posterior variants
   (smooth, class)                        smooth
   (smooth, simple)                       smooth_simple_reg
   (smooth, no)                           smooth_simple
+  (no_exp, no)                           no_exp
+  (no_exp, simple/class)                 no_exp_association
 
     python scripts/smc_observation.py --scenes 1
 """
@@ -26,7 +28,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 VARIANTS = ["association", "association_simple_reg", "simple",
-            "smooth", "smooth_simple_reg", "smooth_simple"]
+            "smooth", "smooth_simple_reg", "smooth_simple",
+            "no_exp", "no_exp_association"]
 
 
 def main():

@@ -105,7 +105,8 @@ def test_fused_posterior_matches_graph(key):
                                rtol=1e-3, atol=0.05)
 
 
-@pytest.mark.parametrize("variant", ["simple", "smooth"])
+@pytest.mark.parametrize("variant", ["simple", "smooth", "no_exp",
+                                     "no_exp_association"])
 def test_fused_variants_run(variant, key):
     params = Parameters(width=16, height=16)
     mesh = cube_mesh(0.1)

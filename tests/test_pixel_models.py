@@ -122,3 +122,32 @@ def test_vectorized_over_particles():
     ll = d.logpdf(z)
     assert ll.shape == (n, h, w)
     assert bool(jnp.all(jnp.isfinite(ll)))
+
+
+def test_uniform_mixture_no_occlusion():
+    """The :no_exp model has NO density bump in front of the surface — an
+    occluder reads as pure outlier (smc_observation.jl:60-71)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bayesianposeestimation.jl_tpu.models.pixel import (
+        pixel_mixture,
+        uniform_association_fn,
+        uniform_pixel_mixture,
+    )
+    from bayesianposeestimation.jl_tpu.parameters import Parameters
+
+    mu, o = 1.0, 0.8
+    occluded_z = 0.5  # in front of the surface
+    with_exp = pixel_mixture(0.1, 2.0, 1.0, 0.01, mu, o).logpdf(occluded_z)
+    no_exp = uniform_pixel_mixture(0.1, 2.0, 0.01, mu, o).logpdf(occluded_z)
+    assert float(with_exp) > float(no_exp)  # exp tail explains the occluder
+
+    fn = uniform_association_fn(Parameters(association_sigma=0.01))
+    on_surface = float(fn(jnp.float32(0.5), jnp.float32(mu), jnp.float32(mu)))
+    occluded = float(fn(jnp.float32(0.5), jnp.float32(mu), jnp.float32(occluded_z)))
+    assert on_surface > 0.95
+    assert occluded < 0.5
+    assert float(fn(jnp.float32(0.5), jnp.float32(0.0), jnp.float32(1.0))) == 0.5
+    np.testing.assert_allclose(
+        float(fn(jnp.float32(1.0), jnp.float32(mu), jnp.float32(occluded_z))), 1.0)
