@@ -1,12 +1,14 @@
-"""Hyperparameter search for the SMC-MH sampler.
+"""Hyperparameter search for the SMC-MH (or any) sampler.
 
 Parity target: /root/reference/scripts/smc_mh_hyperopt.jl — HyperTuning's
-BCAPSampler over o_mask_is in [0.5,1], pixel_sigma in [1e-4,0.02],
-proposal_sigma_r in [0.01,pi], minimizing 1 - VSD recall (:182-204, cost at
-:91-156). Here: quasi-random (scrambled Halton-ish) search with the same
-bounds and objective; the reference's tuned optimum (pixel_sigma=0.005,
-o_mask_is=0.9, sigma_r=pi; smc_bop_val.jl:36-39) is included as the first
-candidate.
+BCAPSampler (Bayesian optimization) over o_mask_is in [0.5,1], pixel_sigma in
+[1e-4,0.02], proposal_sigma_r in [0.01,pi], minimizing 1 - VSD recall
+(:182-204, cost at :91-156). Here: the reference's tuned optimum
+(pixel_sigma=0.005, o_mask_is=0.9, sigma_r=pi; smc_bop_val.jl:36-39) seeds
+trial 0, a quasi-random batch explores, then a cross-entropy refinement
+(Gaussian fit to the top quantile in normalized parameter space, with an
+exploration floor) exploits — the same explore/exploit loop BCAPSampler
+drives with its surrogate.
 
     python scripts/smc_mh_hyperopt.py --trials 8 --scenes 1
 """
@@ -19,19 +21,51 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from smc_bop_val import evaluate_scene, scene_inference  # noqa: E402
 
+# (name, low, high, log-scale)
+SPACE = [
+    ("o_mask_is", 0.5, 1.0, False),
+    ("pixel_sigma", 1e-4, 0.02, True),
+    ("sigma_r", 0.01, 3.14159265, False),
+]
 
-def sample_candidates(n, seed=0):
+
+def _to_unit(cand):
     import numpy as np
 
-    rng = np.random.default_rng(seed)
-    cands = [dict(o_mask_is=0.9, pixel_sigma=0.005, sigma_r=float(np.pi))]
-    for _ in range(n - 1):
-        cands.append(dict(
-            o_mask_is=float(rng.uniform(0.5, 1.0)),
-            pixel_sigma=float(10 ** rng.uniform(-4, np.log10(0.02))),
-            sigma_r=float(rng.uniform(0.01, np.pi)),
-        ))
-    return cands
+    u = []
+    for name, lo, hi, log in SPACE:
+        v = cand[name]
+        u.append((np.log(v) - np.log(lo)) / (np.log(hi) - np.log(lo)) if log
+                 else (v - lo) / (hi - lo))
+    return np.asarray(u)
+
+
+def _from_unit(u):
+    import numpy as np
+
+    cand = {}
+    for (name, lo, hi, log), x in zip(SPACE, np.clip(u, 0.0, 1.0)):
+        cand[name] = float(np.exp(np.log(lo) + x * (np.log(hi) - np.log(lo)))
+                           if log else lo + x * (hi - lo))
+    return cand
+
+
+def next_candidate(history, rng):
+    """Seeded optimum -> quasi-random exploration -> cross-entropy refinement."""
+    import numpy as np
+
+    if not history:
+        return dict(o_mask_is=0.9, pixel_sigma=0.005, sigma_r=float(np.pi))
+    n = len(history)
+    if n < 4:  # exploration batch
+        return _from_unit(rng.uniform(size=len(SPACE)))
+    # CEM: fit a Gaussian to the top-30% trials in unit space
+    ranked = sorted(history, key=lambda h: h["cost"])
+    elite = np.stack([_to_unit(h) for h in ranked[:max(2, int(0.3 * n))]])
+    mean, std = elite.mean(0), elite.std(0) + 0.05  # exploration floor
+    if rng.uniform() < 0.2:  # occasional global restart
+        return _from_unit(rng.uniform(size=len(SPACE)))
+    return _from_unit(rng.normal(mean, std))
 
 
 def main():
@@ -43,6 +77,8 @@ def main():
     ap.add_argument("--trials", type=int, default=8)
     ap.add_argument("--time-budget", type=float, default=0.25)
     ap.add_argument("--n-particles", type=int, default=100)
+    ap.add_argument("--sampler", default="smc_mh")
+    ap.add_argument("--experiment-name", default="smc_mh_hyperopt")
     args = ap.parse_args()
 
     import numpy as np
@@ -55,9 +91,11 @@ def main():
         savename,
     )
 
+    rng = np.random.default_rng(0)
     best = (1.0, None)
-    rows = []
-    for trial, cand in enumerate(sample_candidates(args.trials)):
+    history = []
+    for trial in range(args.trials):
+        cand = next_candidate(history, rng)
         parameters = Parameters(
             n_particles=args.n_particles, time_budget=args.time_budget,
             pixel_sigma=cand["pixel_sigma"], association_sigma=cand["pixel_sigma"],
@@ -66,30 +104,31 @@ def main():
         )
         costs = []
         for scene_id in args.scenes:
-            config = {"sampler": "smc_mh", "dataset": args.dataset,
+            config = {"sampler": args.sampler, "dataset": args.dataset,
                       "testset": args.testset, "scene_id": scene_id,
                       "trial": trial}
             result, _ = produce_or_load(
                 lambda c: scene_inference(c, args.bop_dir, parameters),
-                config, datadir("exp_raw", "smc_mh_hyperopt"), filename=savename(config))
+                config, datadir("exp_raw", args.experiment_name),
+                filename=savename(config))
             errors, _ = produce_or_load(
                 lambda c: evaluate_scene(c, args.bop_dir, parameters,
                                          result["result_rows"]),
-                config, datadir("exp_pro", "smc_mh_hyperopt", "errors"),
+                config, datadir("exp_pro", args.experiment_name, "errors"),
                 filename=savename(config))
             vsd_rec = ev.recall(*ev.threshold_errors(errors["vsd"], ev.BOP18_THETA))
             costs.append(1.0 - vsd_rec)
         cost = float(np.mean(costs))
-        rows.append(dict(trial=trial, **cand, cost=cost))
+        history.append(dict(trial=trial, **cand, cost=cost))
         print(f"trial {trial}: {cand} -> cost {cost:.3f}")
         if cost < best[0]:
             best = (cost, cand)
 
     import pandas as pd
 
-    out = datadir("exp_pro", "smc_mh_hyperopt", "trials.csv")
+    out = datadir("exp_pro", args.experiment_name, "trials.csv")
     out.parent.mkdir(parents=True, exist_ok=True)
-    pd.DataFrame(rows).to_csv(out, index=False)
+    pd.DataFrame(history).to_csv(out, index=False)
     print(f"best: cost {best[0]:.3f} with {best[1]}")
     print(f"wrote {out}")
 
