@@ -78,6 +78,18 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+# Per-chunk dot output is [4*chunk, p_pad] f32; keep it around this budget.
+# Measured on v5e: at p_pad=1024 chunk 640-1280 (10-21 MiB) is fastest, at
+# p_pad=3712 chunk 256 (14 MiB) beats 512 (29 MiB).
+_CHUNK_VMEM_BUDGET = 16 * 2**20
+
+
+def _auto_chunk(n_faces, p_pad):
+    """Largest 128-multiple chunk whose dot output stays in budget."""
+    by_budget = _CHUNK_VMEM_BUDGET // (N_FORMS * 4 * p_pad)
+    return max(LANE, min(_round_up(n_faces, LANE), by_budget // LANE * LANE))
+
+
 def expand_triangle_rows(verts, faces, f_pad: int):
     """[9, f_pad] triangle-vertex rows (row 3j+k = coordinate k of vertex j),
     zero-padded (degenerate -> culled by the area test). One [F]-row gather,
@@ -315,7 +327,7 @@ def _scratch_shapes(f_pad, n_chunks, p_pad):
 
 @partial(jax.jit, static_argnames=("height", "width", "chunk", "backface_cull"))
 def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
-                        height=None, width=None, chunk=128, backface_cull=True):
+                        height=None, width=None, chunk=None, backface_cull=True):
     """Drop-in Pallas replacement for rasterize.render_depth_batch:
     [N] poses -> [N, H, W] z-depth maps (0 = background)."""
     height = cam.height if height is None else height
@@ -323,6 +335,8 @@ def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
     n = t.shape[0]
     n_pix = height * width
     p_pad = _round_up(n_pix, LANE)
+    if chunk is None:
+        chunk = _auto_chunk(faces.shape[0], p_pad)
     f_pad = _round_up(faces.shape[0], chunk)
     n_chunks = f_pad // chunk
 
@@ -354,7 +368,7 @@ def _flatten_pad_image(img, p_pad):
 @partial(jax.jit, static_argnames=("height", "width", "chunk", "score_fn",
                                    "return_mu", "backface_cull"))
 def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
-                        score_fn, height=None, width=None, chunk=128,
+                        score_fn, height=None, width=None, chunk=None,
                         return_mu=False, backface_cull=True):
     """Fully-fused transform + render + associate + score.
 
@@ -369,6 +383,8 @@ def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
     n = t.shape[0]
     n_pix = height * width
     p_pad = _round_up(n_pix, LANE)
+    if chunk is None:
+        chunk = _auto_chunk(faces.shape[0], p_pad)
     f_pad = _round_up(faces.shape[0], chunk)
     n_chunks = f_pad // chunk
 

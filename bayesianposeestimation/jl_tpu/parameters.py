@@ -71,7 +71,7 @@ class Parameters:
     w_t_sym: float = 0.9
 
     # Renderer tuning (TPU-specific)
-    raster_chunk: int = 128
+    raster_chunk: int | None = None  # None -> VMEM-budget auto-chunk
 
     # -- derived ------------------------------------------------------------
     @property

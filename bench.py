@@ -48,7 +48,7 @@ def main():
 
     n_steps, n_particles = 500, 100
     params = Parameters(n_steps=n_steps, n_particles=n_particles,
-                        proposal_sigma_r=(0.5, 0.5, 0.5), raster_chunk=64)
+                        proposal_sigma_r=(0.5, 0.5, 0.5))
     mesh = mesh_io.monkey_mesh(0.08)
     base = CvCamera(width=640, height=480, f_x=600.0, f_y=600.0, c_x=319.5, c_y=239.5,
                     near=0.01, far=10.0)

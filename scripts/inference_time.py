@@ -45,7 +45,7 @@ def main():
     key = jax.random.PRNGKey(0)
     rows = []
     for res in args.resolutions:
-        params0 = Parameters(width=res, height=res, raster_chunk=64,
+        params0 = Parameters(width=res, height=res,
                              proposal_sigma_r=(0.5, 0.5, 0.5))
         cam = crop_camera(base, np.array([0.0, 0.0, 1.0]),
                           mesh_io.mesh_diameter(mesh), width=res, height=res)

@@ -54,7 +54,7 @@ def main():
         parameters = Parameters(
             n_particles=config["n_particles"], time_budget=config["pose_time"],
             pixel_sigma=0.005, association_sigma=0.005, o_mask_is=0.9,
-            proposal_sigma_r=(np.pi, np.pi, np.pi), raster_chunk=64,
+            proposal_sigma_r=(np.pi, np.pi, np.pi),
         )
         print(f"config: {config}")
         result, _ = produce_or_load(

@@ -75,7 +75,7 @@ def main():
 
     n_particles = args.n_particles or (600 if args.filter == "coordinate" else 1250)
     params = Parameters(width=args.width, height=args.height,
-                        n_particles=n_particles, raster_chunk=64,
+                        n_particles=n_particles,
                         proposal_sigma_t=(0.005, 0.005, 0.005),
                         proposal_sigma_r=(0.05, 0.05, 0.05))
 

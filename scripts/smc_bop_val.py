@@ -232,7 +232,7 @@ def main():
     parameters = Parameters(
         n_particles=args.n_particles, time_budget=args.time_budget,
         pixel_sigma=0.005, association_sigma=0.005, o_mask_is=0.9,
-        proposal_sigma_r=(np.pi, np.pi, np.pi), raster_chunk=64,
+        proposal_sigma_r=(np.pi, np.pi, np.pi),
     )
 
     configs = dict_list({

@@ -100,7 +100,7 @@ def main():
             n_particles=args.n_particles, time_budget=args.time_budget,
             pixel_sigma=cand["pixel_sigma"], association_sigma=cand["pixel_sigma"],
             o_mask_is=cand["o_mask_is"],
-            proposal_sigma_r=(cand["sigma_r"],) * 3, raster_chunk=64,
+            proposal_sigma_r=(cand["sigma_r"],) * 3,
         )
         costs = []
         for scene_id in args.scenes:

@@ -43,7 +43,7 @@ def main():
         n_particles=args.n_particles, time_budget=args.time_budget,
         n_steps=args.n_steps,
         pixel_sigma=0.005, association_sigma=0.005, o_mask_is=0.9,
-        proposal_sigma_r=(np.pi, np.pi, np.pi), raster_chunk=64,
+        proposal_sigma_r=(np.pi, np.pi, np.pi),
     )
     name = "smc_mh_resolution"
     configs = dict_list({
