@@ -102,7 +102,9 @@ def crop_camera(camera: CvCamera, center_3d, diameter: float, scale: float = 1.5
     """
     width = camera.width if width is None else width
     height = camera.height if height is None else height
-    x, y, z = float(center_3d[0]), float(center_3d[1]), float(center_3d[2])
+    # no host casts: center_3d may be a traced array (render_crop_fn under
+    # jit); the returned CvCamera is a pytree with traced intrinsics.
+    x, y, z = center_3d[0], center_3d[1], center_3d[2]
     # projected center in the original image
     u0 = camera.f_x * x / z + camera.s * y / z + camera.c_x
     v0 = camera.f_y * y / z + camera.c_y
@@ -132,7 +134,8 @@ def reproject_3d(u, v, z, camera: CvCamera):
     Parity: PoseErrors' ``reproject_3D`` used by ``point_from_segmentation``
     (/root/reference/src/ExperimentModels.jl:22-39)."""
     y = (v - camera.c_y) * z / camera.f_y
-    x = (u - camera.c_x - camera.s * y / camera.f_x) * z / camera.f_x
+    # inverting u = f_x*x/z + s*y/z + c_x:  x = (u - c_x)*z/f_x - s*y/f_x
+    x = (u - camera.c_x) * z / camera.f_x - camera.s * y / camera.f_x
     return x, y, z
 
 

@@ -112,18 +112,34 @@ def _pixel_grid(h, w, cx, cy, dtype):
     return jnp.stack([uu.ravel(), vv.ravel(), ones.ravel()], axis=0)
 
 
+# Per-scan-step candidate tensor is [N, chunk, P] f32; keep it around this
+# budget when auto-chunking (chunk=None). Mirrors pallas_raster._auto_chunk.
+_XLA_CHUNK_BUDGET = 32 * 2**20
+
+
+def _auto_chunk(n_faces, n_poses, n_pix):
+    """Largest multiple-of-8 chunk whose [N, chunk, P] f32 scan-step candidate
+    tensor stays in budget (>= 8, <= n_faces rounded up)."""
+    by_budget = _XLA_CHUNK_BUDGET // max(1, n_poses * n_pix * 4)
+    chunk = max(8, by_budget // 8 * 8)
+    return min(chunk, (n_faces + 7) // 8 * 8)
+
+
 @partial(jax.jit, static_argnames=("height", "width", "chunk"))
-def render_depth_batch(verts, faces, cam: CvCamera, t, q, height=None, width=None, chunk=128):
+def render_depth_batch(verts, faces, cam: CvCamera, t, q, height=None, width=None, chunk=None):
     """Rasterize N poses of one mesh into [N, H, W] z-depth maps.
 
     verts: [V, 3] float32, faces: [F, 3] int32, t: [N, 3], q: [N, 4].
     Background = 0. Pixels with depth outside (near, far) are background.
+    ``chunk=None`` auto-sizes the triangle chunk to a memory budget.
     """
     height = cam.height if height is None else height
     width = cam.width if width is None else width
     dtype = verts.dtype
     n = t.shape[0]
     n_pix = height * width
+    if chunk is None:
+        chunk = _auto_chunk(faces.shape[0], n, n_pix)
 
     uv, z = project_vertices(verts, cam, t, q)  # [N,V,2], [N,V]
     # centered coordinates (match the centered pixel grid below)
@@ -182,7 +198,7 @@ def render_depth_batch(verts, faces, cam: CvCamera, t, q, height=None, width=Non
     return out.reshape(n, height, width)
 
 
-def render_depth(verts, faces, cam: CvCamera, t, q, height=None, width=None, chunk=128):
+def render_depth(verts, faces, cam: CvCamera, t, q, height=None, width=None, chunk=None):
     """Single-pose convenience wrapper -> [H, W]."""
     out = render_depth_batch(verts, faces, cam, t[None], q[None], height, width, chunk)
     return out[0]

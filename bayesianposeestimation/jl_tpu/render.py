@@ -26,7 +26,7 @@ class RenderContext:
     width: int
     height: int
     depth: int = 100  # kept for parity; batch size is dynamic on TPU
-    chunk: int = 128
+    chunk: int | None = None  # None -> memory-budget auto-chunk
 
 
 def render_context(params) -> RenderContext:
@@ -51,11 +51,13 @@ def render_fn(context: RenderContext, scene: dict, t, r):
 
 def render_crop_fn(context: RenderContext, scene: dict, diameter, t, r):
     """Render with a camera cropped around the (first) position estimate
-    (parity: RenderContext.jl:21-28 — 'assumes that all positions are close')."""
-    import numpy as np
+    (parity: RenderContext.jl:21-28 — 'assumes that all positions are close').
 
-    center = np.asarray(t)[0] if np.asarray(t).ndim > 1 else np.asarray(t)
-    cam = crop_camera(scene["camera"], center, float(diameter),
+    Fully traceable: ``t`` may be a traced array; the crop camera is a
+    CvCamera pytree with traced intrinsics, so this works under jit/vmap
+    (one compile per resolution, not per crop)."""
+    center = t.reshape(-1, 3)[0]
+    cam = crop_camera(scene["camera"], center, diameter,
                       width=context.width, height=context.height)
     scene_c = {**scene, "camera": cam}
     return render_fn(context, scene_c, t, r)
