@@ -17,19 +17,21 @@ small XLA ops cost more than the rasterization itself.)
 Kernel design (TPU v5e, see /opt/skills/guides/pallas_guide.md):
 * Grid over poses. Per program: read 7 pose scalars from SMEM, rotate the
   [f_pad] triangle-vertex rows on the VPU (exact f32), project, and build
-  the five per-triangle linear forms in homogeneous pixel coordinates
-  (u, v, 1) — the three edge functions, the perspective-correct depth
-  numerator d = Σ (1/z_i) L_i, and the constant form (0, 0, area) — all
-  pre-multiplied by sign(area) so the inside test is branch-free.
+  the per-triangle linear forms in homogeneous pixel coordinates (u, v, 1)
+  — two edge functions and the perspective-correct depth numerator
+  d = Σ (1/z_i) L_i — pre-multiplied by sign(area) so the inside test is
+  branch-free.
 * Every form is pre-divided by the signed area: the inside test becomes
-  ``min(w0', w1', w2') >= -1e-5`` (algebraically identical to the relative
-  test ``w·sign >= -1e-5·|area|``) and the depth-numerator form becomes
-  1/depth directly, so the per-pixel z-min is a running MAX over d' with a
-  single exact divide per pixel after the chunk loop — no per-(triangle,
-  pixel) reciprocal, and the constant area form disappears.
+  ``min(w0', w1') >= -1e-5 and w0'+w1' <= 1+1e-5`` (the THIRD edge function
+  is never evaluated: barycentric edge numerators sum to the double area
+  identically, so w2' = 1 - w0' - w1' — 25% fewer MXU rows) and the
+  depth-numerator form becomes 1/depth directly, so the per-pixel z-min is
+  a running MAX over d' with a single exact divide per pixel after the
+  chunk loop — no per-(triangle, pixel) reciprocal, and the constant area
+  form disappears.
 * The forms live in (1, f_pad) VMEM scratch rows; the triangle axis streams
-  through in static chunks of ``chunk``: ONE [6, 4*chunk] x [6, P] MXU
-  contraction per chunk evaluates all four form groups (concatenated along
+  through in static chunks of ``chunk``: ONE [6, 3*chunk] x [6, P] MXU
+  contraction per chunk evaluates all three form groups (concatenated along
   the M axis) at every pixel.
 * Geometry matmuls use a manual bf16x2 scheme: the pixel grid is centered on
   a static half-integer point (EXACT in bf16; the true principal point is
@@ -64,7 +66,11 @@ from ..camera import CvCamera
 __all__ = ["pallas_render_score", "pallas_render_depth", "expand_triangle_rows"]
 
 LANE = 128
-N_FORMS = 4  # L0/area, L1/area, L2/area edge functions, 1/depth form d/area
+# L0/area, L1/area edge functions and the 1/depth form d/area. The third edge
+# function is DERIVED, not evaluated: barycentric edge numerators sum to the
+# double area identically (L0+L1+L2 = 2A), so after pre-division by the signed
+# area w2' = 1 - w0' - w1' — one fewer M-row group in the MXU contraction.
+N_FORMS = 3
 
 
 def _grid_center(width, height):
@@ -78,16 +84,28 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-# Per-chunk dot output is [4*chunk, p_pad] f32; keep it around this budget.
-# Measured on v5e: at p_pad=1024 chunk 640-1280 (10-21 MiB) is fastest, at
-# p_pad=3712 chunk 256 (14 MiB) beats 512 (29 MiB).
+# Per-chunk dot output is [N_FORMS*chunk, p_pad] f32; keep it around this
+# budget. Measured on v5e: at p_pad=1024 chunk 640-1280 (10-21 MiB) is
+# fastest, at p_pad=3712 chunk 256 (14 MiB) beats 512 (29 MiB).
 _CHUNK_VMEM_BUDGET = 16 * 2**20
 
 
 def _auto_chunk(n_faces, p_pad):
-    """Largest 128-multiple chunk whose dot output stays in budget."""
+    """Chunk choice: multiple of LANE, dot output within the VMEM budget, and
+    minimal TOTAL padded rows n_chunks*chunk (a chunk that barely exceeds a
+    divisor of the face count can otherwise waste up to ~2x dot work — e.g.
+    1280 faces at chunk 1024 pads to 2048). Ties go to the larger chunk."""
     by_budget = _CHUNK_VMEM_BUDGET // (N_FORMS * 4 * p_pad)
-    return max(LANE, min(_round_up(n_faces, LANE), by_budget // LANE * LANE))
+    cmax = max(LANE, by_budget // LANE * LANE)
+    f_ceil = _round_up(n_faces, LANE)
+    best_c = LANE
+    best_total = None
+    for c in range(LANE, min(cmax, f_ceil) + LANE, LANE):
+        total = _round_up(n_faces, c)
+        if best_total is None or total < best_total or (
+                total == best_total and c > best_c):
+            best_total, best_c = total, c
+    return best_c
 
 
 def expand_triangle_rows(verts, faces, f_pad: int):
@@ -229,10 +247,13 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         # triangles get zero forms (inside-true but d' = 0, lost to the max).
         factor = jnp.where(valid, 1.0 / jnp.where(valid, area, 1.0), 0.0)
 
+        # w2' is derived at raster time (w2' = 1 - w0' - w1'); only the first
+        # two edge groups and the depth group are stored/evaluated. For culled
+        # triangles factor=0 -> w0'=w1'=0 (inside-test passes vacuously with
+        # the derived w2'=1) but d'=0, so they lose to the background max.
         groups = [
             (a0 * factor, b0 * factor, c0 * factor),
             (a1 * factor, b1 * factor, c1 * factor),
-            (a2 * factor, b2 * factor, c2 * factor),
             (d_a * factor, d_b * factor, d_c * factor),
         ]
         for g, (ra, rb, rc) in enumerate(groups):
@@ -261,19 +282,19 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
                         form_refs[g][0:3, pl.ds(c * chunk, chunk)])
                     his.append(hi)
                     los.append(lo)
-                # [6, 4*chunk]: groups along M, lo correction along K (the
+                # [6, 3*chunk]: groups along M, lo correction along K (the
                 # MXU pads K=3 anyway — the lo pass is free)
                 lhs = jnp.concatenate(
                     [jnp.concatenate(his, axis=1),
                      jnp.concatenate(los, axis=1)], axis=0)
                 out = jax.lax.dot_general(
                     lhs, grid, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [4*chunk, p_pad]
+                    preferred_element_type=jnp.float32)  # [3*chunk, p_pad]
                 w0 = out[0 * chunk:1 * chunk]
                 w1 = out[1 * chunk:2 * chunk]
-                w2 = out[2 * chunk:3 * chunk]
-                d = out[3 * chunk:4 * chunk]
-                inside = jnp.minimum(jnp.minimum(w0, w1), w2) >= -1e-5
+                d = out[2 * chunk:3 * chunk]
+                # w2' = 1 - w0' - w1' (exact identity; see N_FORMS note)
+                inside = (jnp.minimum(w0, w1) >= -1e-5) & (w0 + w1 <= 1 + 1e-5)
                 cand = jnp.where(inside, d, 0.0)  # d = 1/depth > 0 when live
                 maxd_ref[:] = jnp.maximum(maxd_ref[:], jnp.max(cand, axis=0,
                                                                keepdims=True))
