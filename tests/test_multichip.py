@@ -1,0 +1,167 @@
+"""Multi-chip statistical correctness on the REAL model (not a toy Gaussian).
+
+VERDICT r1 #3: prove that sharding the particle axis over a mesh does not
+change the statistics — same chain on an 8-device mesh and a 1-device mesh
+with the same key must produce matching log-evidence traces and best-pose
+estimates, and sharded systematic resampling must reproduce the weights.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+needs8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def _real_model(n_particles):
+    """Cube-mesh association posterior at 16x16 — the dryrun_multichip model.
+    Returns (params, experiment, posterior, sampler)."""
+    from bayesianposeestimation.jl_tpu import quaternions as quat
+    from bayesianposeestimation.jl_tpu.camera import CvCamera, crop_camera
+    from bayesianposeestimation.jl_tpu.models import experiment_models as em
+    from bayesianposeestimation.jl_tpu.models import experiment_samplers as es
+    from bayesianposeestimation.jl_tpu.ops.rasterize import render_depth
+    from bayesianposeestimation.jl_tpu.parameters import Experiment, Parameters
+    from bayesianposeestimation.jl_tpu.utils import mesh_io
+
+    params = Parameters(width=16, height=16, n_particles=n_particles, n_steps=5,
+                        proposal_sigma_r=(0.5, 0.5, 0.5))
+    mesh = mesh_io.cube_mesh(0.1)
+    base = CvCamera(width=640, height=480, f_x=600.0, f_y=600.0,
+                    c_x=319.5, c_y=239.5, near=0.01, far=10.0)
+    cam = crop_camera(base, np.array([0.01, -0.02, 1.0]),
+                      mesh_io.mesh_diameter(mesh), width=16, height=16)
+    scene = {"camera": cam, "verts": jnp.asarray(mesh.vertices),
+             "faces": jnp.asarray(mesh.faces)}
+    k_gt, k_noise = jax.random.split(jax.random.PRNGKey(7))
+    gt_t = jnp.array([0.01, -0.02, 1.0])
+    gt_q = quat.rand_quaternion(k_gt)
+    clean = render_depth(scene["verts"], scene["faces"], cam, gt_t, gt_q)
+    obs = jnp.where(clean > 0,
+                    clean + 0.01 * jax.random.normal(k_noise, clean.shape), 0.0)
+    experiment = Experiment(scene=scene, prior_o=params.o_mask_is, prior_t=gt_t,
+                            depth_image=obs)
+    prior = em.point_prior(params, experiment)
+    posterior = em.association_posterior(params, experiment, prior)
+    return params, experiment, posterior, es.smc_mh(params, posterior)
+
+
+@needs8
+def test_sharded_chain_matches_single_device(key):
+    """SMC-MH on the real render+score posterior: 8-device mesh vs 1-device
+    mesh, same key -> same evidence trace and same best pose (GSPMD
+    partitioning must only reorder reductions, never change the math)."""
+    from bayesianposeestimation.jl_tpu.parallel.sharded import (
+        particle_mesh,
+        sharded_sample_chain,
+    )
+
+    n_particles = 32
+    params, _, posterior, sampler = _real_model(n_particles)
+
+    def run(n_dev):
+        mesh = particle_mesh(n_dev)
+        outs, final = sharded_sample_chain(
+            key, posterior, sampler, n_steps=5, n_particles=n_particles,
+            mesh=mesh, collect_vars=("t", "r"))
+        return jax.tree.map(np.asarray, outs), final
+
+    outs1, final1 = run(1)
+    outs8, final8 = run(8)
+
+    np.testing.assert_allclose(outs8["log_evidence"], outs1["log_evidence"],
+                               rtol=2e-3, atol=2e-3)
+    # best particle (argmax log-likelihood) identical up to float reordering
+    ll1 = np.asarray(final1.sample.log_like)
+    ll8 = np.asarray(final8.sample.log_like)
+    np.testing.assert_allclose(np.sort(ll8), np.sort(ll1), rtol=2e-3, atol=2e-3)
+    best1 = np.asarray(final1.sample.variables["t"])[ll1.argmax()]
+    best8 = np.asarray(final8.sample.variables["t"])[ll8.argmax()]
+    np.testing.assert_allclose(best8, best1, atol=1e-4)
+
+
+@needs8
+def test_sharded_fused_density_matches_unsharded(key):
+    """The fused Pallas render+score posterior evaluated with the particle
+    axis sharded over 8 devices gives the same densities as unsharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bayesianposeestimation.jl_tpu.models.fused import FusedPosterior
+    from bayesianposeestimation.jl_tpu.parallel.sharded import particle_mesh
+    from bayesianposeestimation.jl_tpu.samples import Sample
+
+    n_particles = 32
+    params, experiment, _, _ = _real_model(n_particles)
+    fp = FusedPosterior(params, experiment, "association")
+    s = fp.sample_prior(key, n_particles)
+
+    fn = jax.jit(lambda v: fp.tempered_logdensity_sample(Sample(v), 0.7).log_prob)
+    plain = np.asarray(fn(s.variables))
+    mesh = particle_mesh(8)
+    sharded_vars = jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P("particles", *[None] * (x.ndim - 1)))),
+        s.variables)
+    sharded = np.asarray(fn(sharded_vars))
+    np.testing.assert_allclose(sharded, plain, rtol=1e-5, atol=1e-5)
+
+
+@needs8
+def test_sharded_resampling_indices_match_unsharded(key):
+    """Systematic resampling under GSPMD returns the identical index vector."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bayesianposeestimation.jl_tpu.parallel.sharded import particle_mesh
+    from bayesianposeestimation.jl_tpu.samplers.smc import (
+        systematic_resampling_indices,
+    )
+
+    n = 64
+    logw = jnp.log(jax.random.dirichlet(key, jnp.ones(n) * 0.3))
+    mesh = particle_mesh(8)
+    logw_sharded = jax.device_put(logw, NamedSharding(mesh, P("particles")))
+    idx_plain = np.asarray(jax.jit(systematic_resampling_indices)(key, logw))
+    idx_shard = np.asarray(jax.jit(systematic_resampling_indices)(key, logw_sharded))
+    np.testing.assert_array_equal(idx_shard, idx_plain)
+
+
+@needs8
+def test_sharded_resampling_counts_match_weights(key):
+    """Chi-square: offspring counts of SHARDED systematic resampling match the
+    weights. Systematic resampling has sub-multinomial variance, so an
+    unbiased implementation scores far below the multinomial chi-square
+    critical value; a biased gather fails hard."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bayesianposeestimation.jl_tpu.parallel.sharded import particle_mesh
+    from bayesianposeestimation.jl_tpu.samplers.smc import (
+        systematic_resampling_indices,
+    )
+
+    n, reps = 64, 256
+    k_w, k_r = jax.random.split(key)
+    w = np.asarray(jax.random.dirichlet(k_w, jnp.ones(n) * 0.5), np.float64)
+    w = w / w.sum()
+    logw = jnp.log(jnp.asarray(w, jnp.float32))
+    mesh = particle_mesh(8)
+    logw = jax.device_put(logw, NamedSharding(mesh, P("particles")))
+
+    sample_idx = jax.jit(jax.vmap(systematic_resampling_indices, in_axes=(0, None)))
+    keys = jax.random.split(k_r, reps)
+    idx = np.asarray(sample_idx(keys, logw))  # [reps, n]
+    counts = np.bincount(idx.ravel(), minlength=n).astype(np.float64)
+    expected = reps * n * w
+    # merge tiny-expectation bins for chi-square validity
+    keep = expected >= 5
+    chi2 = float((((counts - expected) ** 2 / expected)[keep]).sum())
+    df = int(keep.sum()) - 1
+    # multinomial 99.9% critical value ~ df + 3*sqrt(2*df); systematic
+    # resampling should sit FAR below it
+    assert chi2 < df + 3.1 * np.sqrt(2 * df), (chi2, df)
+    # per-bin unbiasedness: systematic-resampling counts deviate by at most
+    # 1 per replicate with variance <= 0.25, so z = (O-E)/sqrt(0.25*reps)
+    z = np.abs(counts - expected) / np.sqrt(0.25 * reps)
+    assert z.max() < 4.0, z.max()
