@@ -315,7 +315,10 @@ def load_mesh(row_or_path, models_dir=None, decimate_to=None) -> mesh_io.Mesh:
         if models_dir is not None:
             base = Path(models_dir)
         path = base / f"obj_{int(row['obj_id']):06d}.ply"
-    mesh = load_ply(path)
+    mesh = mesh_io.fix_winding(load_ply(path))
+    # fix_winding: the fused renderer backface-culls by default (area<0 keeps
+    # front faces); a majority-inward PLY would silently render empty depth
+    # maps. load_obj already reorients; PLY must too.
     if decimate_to is not None and mesh.n_faces > decimate_to:
         from .decimate import decimate as _dec
 

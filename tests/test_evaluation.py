@@ -117,3 +117,71 @@ def test_mean_step_time_and_budget(key):
     n = ev.steps_for_time_budget(st, 0.5)
     assert n >= 2
     assert ev.steps_for_time_budget(10.0, 0.5) == 2  # floor
+
+
+def test_match_errors_all_inf_estimate_does_not_consume_gt():
+    """An estimate with no finite error must not take a gt slot (round-1 bug:
+    the finite check was dead code)."""
+    scores = [10.0, 1.0]  # first (all-inf) estimate has the best score
+    errors = np.array([[np.inf, np.inf],
+                       [0.01, 0.5]])
+    out = ev.match_errors(scores, errors)
+    # the good estimate still matches gt 0 despite losing the score order
+    assert out[0] == pytest.approx(0.01)
+    assert np.isinf(out[1])
+
+
+def test_match_scene_errors_swapped_estimates():
+    """Multi-instance image where each estimate converged to the OTHER
+    instance: per-own-gt evaluation scores 0/2 correct, greedy matching
+    recovers 2/2 (the reference's BOP semantics, Evaluation.jl:109-147)."""
+
+    def row(gt_id, t, score):
+        return dict(scene_id=1, img_id=0, obj_id=1, gt_id=gt_id, t=t,
+                    q=[1, 0, 0, 0], score=score, gt_t=None, gt_R=None,
+                    visib_fract=1.0)
+
+    # estimate for gt 0 found instance 1 and vice versa
+    rows = [row(0, "near_gt1", 5.0), row(1, "near_gt0", 4.0)]
+
+    def errors_fn(ests, gt_rows):
+        # error[i, j]: est i vs gt j; swapped convergence
+        mat = np.array([[0.9, 0.02],   # est 0 is near gt 1
+                        [0.03, 0.8]])  # est 1 is near gt 0
+        n_tau = len(ev.BOP19_THRESHOLDS)
+        return {"adds": mat, "vsd": mat,
+                "vsdbop": np.repeat(mat[:, :, None], n_tau, axis=2)}
+
+    matched = ev.match_scene_errors(rows, errors_fn)
+    # unmatched diagonal evaluation would be [0.9, 0.8] -> recall 0
+    unmatched_recall = ev.recall(*ev.threshold_errors(np.array([0.9, 0.8]),
+                                                      ev.ADDS_THETA))
+    matched_recall = ev.recall(*ev.threshold_errors(matched["adds"],
+                                                    ev.ADDS_THETA))
+    assert unmatched_recall == 0.0
+    assert matched_recall == 1.0
+    np.testing.assert_allclose(np.sort(matched["adds"]), [0.02, 0.03])
+
+
+def test_match_scene_errors_visib_filter():
+    """gts below 10% visibility are excluded from the recall denominator
+    (parity: Evaluation.jl:196-215)."""
+
+    def row(gt_id, visib, score):
+        return dict(scene_id=1, img_id=0, obj_id=1, gt_id=gt_id, t=gt_id,
+                    q=[1, 0, 0, 0], score=score, gt_t=None, gt_R=None,
+                    visib_fract=visib)
+
+    rows = [row(0, 1.0, 5.0), row(1, 0.05, 4.0)]
+
+    def errors_fn(ests, gt_rows):
+        # only the visible gt survives the filter
+        assert len(gt_rows) == 1 and gt_rows[0]["gt_id"] == 0
+        mat = np.full((len(ests), 1), 0.05)
+        n_tau = len(ev.BOP19_THRESHOLDS)
+        return {"adds": mat, "vsd": mat,
+                "vsdbop": np.repeat(mat[:, :, None], n_tau, axis=2)}
+
+    matched = ev.match_scene_errors(rows, errors_fn)
+    assert matched["adds"].shape == (1,)
+    assert matched["vsdbop"].shape == (1, len(ev.BOP19_THRESHOLDS))
