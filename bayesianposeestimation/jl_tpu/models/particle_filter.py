@@ -41,6 +41,7 @@ from ..tempering import ConstantSchedule
 __all__ = [
     "pf_prior",
     "pf_prior_nodes",
+    "fused_pf_posterior",
     "Dynamics",
     "JointDynamics",
     "coordinate_pf",
@@ -48,6 +49,23 @@ __all__ = [
     "resize_experiment",
     "crop_experiment",
 ]
+
+
+def fused_pf_posterior(variant: str = "association"):
+    """Posterior factory for the trackers whose likelihood runs the FUSED
+    Pallas render+score kernel with the velocity-state prior
+    (``pf_prior_nodes``) — the production tracking configuration. Reuse the
+    returned factory across calls: it keys the compiled-runner cache.
+    """
+    from .fused import FusedPosterior
+
+    def factory(params, experiment, prior=None):
+        return FusedPosterior(params, experiment, variant,
+                              prior_graph=pf_prior_nodes(params, experiment))
+
+    factory.fused = True
+    factory.variant = variant
+    return factory
 
 
 def pf_prior_nodes(params, experiment):
@@ -226,6 +244,10 @@ def _run_pf(key, posterior_fn, params, experiment, depth_imgs, kind,
 
         def build_model(depth_img):
             exp = experiment.with_depth_image(depth_img)
+            if getattr(posterior_fn, "fused", False):
+                # fused posteriors render inside the likelihood kernel — no
+                # graph render node needed
+                return posterior_fn(params, exp)
             prior = pf_prior(params, exp)
             return posterior_fn(params, exp, prior)
 
