@@ -147,40 +147,27 @@ def load_depth_stream(path):
 def convert_rosbag(bag_path, out_path, depth_topic, camera_info_topic,
                    pose_topic=None):
     """Offline rosbag -> .npz depth-stream converter (replaces the reference's
-    RobotOSData ingestion). Requires the optional ``rosbags`` package; raises
-    a clear error when unavailable (this image has no ROS stack)."""
-    try:
-        from rosbags.highlevel import AnyReader  # type: ignore
-    except ImportError as e:
-        raise ImportError(
-            "rosbag conversion needs the 'rosbags' package; convert bags "
-            "offline on a machine that has it, producing the .npz depth-stream "
-            "format (save_depth_stream)"
-        ) from e
+    RobotOSData ingestion, /root/reference/src/ParticleFilter.jl:219-261).
+    Uses the self-contained native ROS1 parser (utils.rosbag) — no ROS stack
+    or optional packages needed."""
+    from .rosbag import read_bag
 
+    topics = {depth_topic, camera_info_topic}
+    if pose_topic:
+        topics.add(pose_topic)
     depths, stamps, gt_t, gt_q = [], [], [], []
     camera = None
-    with AnyReader([Path(bag_path)]) as reader:
-        conns = [c for c in reader.connections
-                 if c.topic in (depth_topic, camera_info_topic, pose_topic)]
-        for conn, timestamp, raw in reader.messages(connections=conns):
-            msg = reader.deserialize(raw, conn.msgtype)
-            if conn.topic == camera_info_topic and camera is None:
-                camera = camera_from_info(dict(K=np.asarray(msg.k),
-                                               width=msg.width, height=msg.height))
-            elif conn.topic == depth_topic:
-                depths.append(ros_depth_img(dict(encoding=msg.encoding,
-                                                 data=bytes(msg.data),
-                                                 width=msg.width, height=msg.height)))
-                stamps.append(timestamp * 1e-9)
-            elif pose_topic and conn.topic == pose_topic:
-                t, q = ros_pose(dict(
-                    position=dict(x=msg.pose.position.x, y=msg.pose.position.y,
-                                  z=msg.pose.position.z),
-                    orientation=dict(w=msg.pose.orientation.w, x=msg.pose.orientation.x,
-                                     y=msg.pose.orientation.y, z=msg.pose.orientation.z)))
-                gt_t.append(t)
-                gt_q.append(q)
+    for topic, _msgtype, stamp_ns, msg in read_bag(bag_path, topics):
+        if topic == camera_info_topic and camera is None:
+            camera = camera_from_info(dict(K=np.asarray(msg["K"]),
+                                           width=msg["width"], height=msg["height"]))
+        elif topic == depth_topic:
+            depths.append(ros_depth_img(msg))
+            stamps.append(stamp_ns * 1e-9)
+        elif pose_topic and topic == pose_topic:
+            t, q = ros_pose(msg)
+            gt_t.append(t)
+            gt_q.append(q)
     assert camera is not None and depths, "bag missing camera info or depth images"
     save_depth_stream(out_path, np.stack(depths), camera, np.asarray(stamps),
                       np.asarray(gt_t) if gt_t else None,
