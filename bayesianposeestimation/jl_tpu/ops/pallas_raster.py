@@ -73,11 +73,28 @@ LANE = 128
 N_FORMS = 3
 
 
+# Grid-centered half-integer pixel coordinates are bf16-exact only while
+# |coord| <= 127.5 (bf16 has 8 significand bits: ulp grows to 1.0 at 128), so
+# the kernel supports renders up to 256 px per side. The lo-pass corrects
+# coefficient rounding, NOT grid rounding — larger renders must use the XLA
+# path (ops.rasterize), whose f32 HIGHEST-precision grid has no such limit.
+MAX_KERNEL_SIDE = 256
+
+
 def _grid_center(width, height):
-    """Static grid center (half-integers -> bf16-exact pixel coords). The true
-    principal point is folded into the traced coefficients, so arbitrary
-    per-image crop cameras share ONE compiled kernel per resolution."""
+    """Static grid center (half-integers -> bf16-exact pixel coords up to
+    MAX_KERNEL_SIDE). The true principal point is folded into the traced
+    coefficients, so arbitrary per-image crop cameras share ONE compiled
+    kernel per resolution."""
     return (width - 1) / 2.0, (height - 1) / 2.0
+
+
+def _check_resolution(width, height):
+    if width > MAX_KERNEL_SIDE or height > MAX_KERNEL_SIDE:
+        raise ValueError(
+            f"pallas raster kernel supports at most {MAX_KERNEL_SIDE}px per "
+            f"side (bf16-exact pixel grid), got {width}x{height}; use "
+            "ops.rasterize.render_depth_batch for larger renders")
 
 
 def _round_up(x, m):
@@ -353,6 +370,7 @@ def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
     [N] poses -> [N, H, W] z-depth maps (0 = background)."""
     height = cam.height if height is None else height
     width = cam.width if width is None else width
+    _check_resolution(width, height)
     n = t.shape[0]
     n_pix = height * width
     p_pad = _round_up(n_pix, LANE)
@@ -401,6 +419,7 @@ def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
     """
     height = cam.height if height is None else height
     width = cam.width if width is None else width
+    _check_resolution(width, height)
     n = t.shape[0]
     n_pix = height * width
     p_pad = _round_up(n_pix, LANE)

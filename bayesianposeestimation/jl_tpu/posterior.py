@@ -67,7 +67,7 @@ class PosteriorModel:
         """Returns (ℓ_prior + logjac, ℓ_likelihood), each [batch...]
         (parity: prior_and_likelihood at PosteriorModel.jl:52-66, minus the
         to-CPU sync)."""
-        model_sample, logjac = to_model_domain(sample, self.bijectors)
+        model_sample, logjac = to_model_domain(sample, self.bijectors, batch_ndim)
         values = evaluate_deterministic(self.graph, model_sample.variables)
         # attach observations for likelihood evaluation
         for name, node in self.likelihood.items():

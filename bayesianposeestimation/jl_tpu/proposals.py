@@ -114,6 +114,7 @@ def transition_probability(proposal, new: Sample, prev: Sample, batch_ndim=1):
     if proposal.kind == "independent":
         # transform only the proposed variables; logjac of the proposal bijectors
         sub = new[proposal.names]
-        model_sub, logjac = to_model_domain(sub, proposal.proposal_bijectors)
+        model_sub, logjac = to_model_domain(sub, proposal.proposal_bijectors,
+                                            batch_ndim)
         return logdensityof_graph(proposal.model, model_sub.variables, batch_ndim) + logjac
     raise ValueError(proposal.kind)

@@ -92,24 +92,23 @@ def sample_minus(a: Sample, b: Sample, names=None, quaternion_names=()) -> dict:
     }
 
 
-def to_model_domain(s: Sample, bijectors: dict):
+def to_model_domain(s: Sample, bijectors: dict, batch_ndim: int = 1):
     """Unconstrained -> model domain via inverse bijectors; returns
-    (model_sample, summed logjac) (parity: Samples.jl:66-72)."""
+    (model_sample, summed logjac) (parity: Samples.jl:66-72).
+
+    ``batch_ndim``: number of LEADING batch axes to keep in the logjac —
+    event dims beyond them are summed. MTM evaluates [n_tries, n_chains]
+    batches (batch_ndim=2); summing axis 1 there would collapse the chain
+    axis and mis-broadcast against [T, N] densities."""
     logjac = jnp.zeros(())
     new_vars = dict(s.variables)
     for name, b in bijectors.items():
         if name in new_vars:
             x, lj = b.inverse_with_logjac(new_vars[name])
             new_vars[name] = x
-            # reduce variable-event dims but keep batch dims: sum over all but
-            # the leading batch axes is model-specific; variables here are
-            # [batch..., event...] — sum event contribution happens inside the
-            # prior logpdf; logjac from scalar bijectors matches elementwise.
             lj_arr = jnp.asarray(lj)
-            if lj_arr.ndim > 0:
-                # sum everything except the leading particle axis if batched
-                if lj_arr.ndim > 1:
-                    lj_arr = jnp.sum(lj_arr, axis=tuple(range(1, lj_arr.ndim)))
+            if lj_arr.ndim > batch_ndim:
+                lj_arr = jnp.sum(lj_arr, axis=tuple(range(batch_ndim, lj_arr.ndim)))
             logjac = logjac + lj_arr
     return replace(s, variables=new_vars), logjac
 

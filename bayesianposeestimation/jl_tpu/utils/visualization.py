@@ -149,14 +149,21 @@ def plot_pose_chain(ts, qs, gt_t=None, gt_q=None):
     return fig
 
 
-def plot_pose_density(ts, bins=50):
+def plot_pose_density(ts, bins=50, log_weights=None):
     """Translation marginals of the final particles
-    (parity: plot_pose_density at Visualization.jl:249-270)."""
+    (parity: plot_pose_density at Visualization.jl:249-270). For weighted SMC
+    populations pass ``log_weights`` — the marginals are then the weighted
+    posterior density, not the raw particle histogram."""
     plt = _plt()
     ts = np.asarray(ts).reshape(-1, 3)
+    weights = None
+    if log_weights is not None:
+        lw = np.asarray(log_weights).reshape(-1)
+        weights = np.exp(lw - lw.max())
+        weights = weights / weights.sum()
     fig, axes = plt.subplots(1, 3)
     for d, name in enumerate("xyz"):
-        axes[d].hist(ts[:, d], bins=bins, density=True)
+        axes[d].hist(ts[:, d], bins=bins, density=True, weights=weights)
         axes[d].set_xlabel(f"t_{name} / m")
     return fig
 

@@ -39,3 +39,42 @@ def test_plots_smoke(tmp_path):
     fig = viz.plot_best_pose(render_fn, ts[-1], qs[-1], rng.normal(size=8), obs_img=depth)
     fig.savefig(tmp_path / "best.png")
     assert (tmp_path / "best.png").stat().st_size > 0
+
+
+def test_mean_image_weighting_correct():
+    """Weighted mean_image must honor the log weights exactly."""
+    import numpy as np
+
+    from bayesianposeestimation.jl_tpu.utils.visualization import mean_image
+
+    imgs = np.stack([np.full((4, 4), 1.0), np.full((4, 4), 3.0)])
+    # all mass on image 0
+    out = mean_image(imgs, log_weights=np.array([0.0, -np.inf]))
+    np.testing.assert_allclose(out, 1.0)
+    # uniform weights = plain mean
+    out = mean_image(imgs, log_weights=np.log([0.5, 0.5]))
+    np.testing.assert_allclose(out, 2.0)
+    # 3:1 mass
+    out = mean_image(imgs, log_weights=np.log([0.75, 0.25]))
+    np.testing.assert_allclose(out, 1.5)
+    # shift-invariance in log domain
+    out2 = mean_image(imgs, log_weights=np.log([0.75, 0.25]) + 123.0)
+    np.testing.assert_allclose(out2, 1.5)
+
+
+def test_plot_pose_density_weighted():
+    """Weighted density: a dominant particle dominates the histogram mass."""
+    import numpy as np
+
+    from bayesianposeestimation.jl_tpu.utils.visualization import plot_pose_density
+
+    ts = np.concatenate([np.zeros((50, 3)), np.ones((50, 3))])
+    lw = np.concatenate([np.full(50, 0.0), np.full(50, -50.0)])
+    fig = plot_pose_density(ts, bins=2, log_weights=lw)
+    ax = fig.axes[0]
+    heights = [p.get_height() for p in ax.patches[:2]]
+    # essentially all mass in the bin at 0
+    assert heights[0] > 100 * max(heights[1], 1e-12)
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
