@@ -82,6 +82,7 @@ from .models.particle_filter import (
     JointDynamics,
     bootstrap_pf,
     coordinate_pf,
+    fused_pf_posterior,
     pf_prior,
     pf_prior_nodes,
 )

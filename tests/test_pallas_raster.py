@@ -117,3 +117,48 @@ def test_fused_variants_run(variant, key):
     ell, sumo = pallas_render_score(verts, faces, CAM, t, q, z, 0.7, score_fn, chunk=64)
     assert ell.shape == (3,)
     assert bool(jnp.all(jnp.isfinite(ell)))
+
+
+def test_auto_chunk_minimizes_padding():
+    """The chunk choice must minimize total padded rows: 1280 faces must not
+    pad to 2048 (the round-1 auto-chunk wasted 60% dot work there)."""
+    from bayesianposeestimation.jl_tpu.ops.pallas_raster import (
+        _auto_chunk,
+        _round_up,
+    )
+
+    # bench config: 1280 faces, 900 px -> p_pad 1024
+    c = _auto_chunk(1280, 1024)
+    assert _round_up(1280, c) == 1280, (c, _round_up(1280, c))
+    # PF config: 320 faces, 4800 px -> p_pad 4864
+    c = _auto_chunk(320, 4864)
+    assert _round_up(320, c) == 384  # best possible with 128-multiples
+    # chunk stays within the VMEM budget for large pixel counts
+    from bayesianposeestimation.jl_tpu.ops.pallas_raster import (
+        _CHUNK_VMEM_BUDGET,
+        N_FORMS,
+    )
+
+    for f, p in [(5000, 1024), (1280, 65536), (100, 128)]:
+        c = _auto_chunk(f, p)
+        assert c % 128 == 0
+        assert N_FORMS * c * p * 4 <= max(_CHUNK_VMEM_BUDGET,
+                                          N_FORMS * 128 * p * 4)
+
+
+def test_kernel_resolution_bound():
+    """Renders beyond the bf16-exact grid bound must be rejected."""
+    import pytest as _pytest
+
+    from bayesianposeestimation.jl_tpu.camera import CvCamera
+    from bayesianposeestimation.jl_tpu.ops.pallas_raster import pallas_render_depth
+    from bayesianposeestimation.jl_tpu.utils.mesh_io import cube_mesh
+
+    mesh = cube_mesh(0.1)
+    cam = CvCamera(width=512, height=512, f_x=600.0, f_y=600.0,
+                   c_x=255.5, c_y=255.5)
+    t = jnp.array([[0.0, 0.0, 1.0]])
+    q = jnp.array([[1.0, 0.0, 0.0, 0.0]])
+    with _pytest.raises(ValueError, match="256px"):
+        pallas_render_depth(jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces),
+                            cam, t, q)
