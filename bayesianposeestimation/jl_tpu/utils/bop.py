@@ -243,6 +243,20 @@ def camera_for_row(row, width=None, height=None, near=0.01, far=10.0) -> CvCamer
 # --------------------------------------------------------------------------- #
 
 
+def _parse_mixed_faces(buf: bytes, n_faces: int) -> np.ndarray:
+    """Slow path: variable-vertex-count polygon list, fan-triangulated."""
+    faces = []
+    off = 0
+    for _ in range(n_faces):
+        k = buf[off]
+        off += 1
+        idx = struct.unpack_from(f"<{k}i", buf, off)
+        off += 4 * k
+        for i in range(1, k - 1):
+            faces.append([idx[0], idx[i], idx[i + 1]])
+    return np.asarray(faces, np.int32)
+
+
 def load_ply(path, scale=MM_TO_M) -> mesh_io.Mesh:
     """Minimal PLY parser (ascii + binary_little_endian) for BOP models.
     BOP vertices are in millimeters -> meters by default."""
@@ -291,13 +305,19 @@ def load_ply(path, scale=MM_TO_M) -> mesh_io.Mesh:
             raw = fh.read(n_verts * dtype.itemsize)
             rec = np.frombuffer(raw, dtype=dtype, count=n_verts)
             v = np.stack([rec["x"], rec["y"], rec["z"]], axis=1).astype(np.float32)
-            faces = []
-            for _ in range(n_faces):
-                (k,) = struct.unpack("<B", fh.read(1))
-                idx = struct.unpack(f"<{k}i", fh.read(4 * k))
-                for i in range(1, k - 1):
-                    faces.append([idx[0], idx[i], idx[i + 1]])
-            f = np.asarray(faces, np.int32)
+            face_raw = fh.read()
+            # fast path: all-triangle face list parses as fixed (u1 + 3*i4)
+            # records in one vectorized pass (BOP models have 10^4-10^6
+            # faces; the per-face struct.unpack loop took seconds)
+            tri_dtype = np.dtype([("k", "u1"), ("idx", "<i4", (3,))])
+            if len(face_raw) >= n_faces * tri_dtype.itemsize:
+                tris = np.frombuffer(face_raw, dtype=tri_dtype, count=n_faces)
+                if np.all(tris["k"] == 3):
+                    f = np.ascontiguousarray(tris["idx"], np.int32)
+                else:
+                    f = _parse_mixed_faces(face_raw, n_faces)
+            else:
+                f = _parse_mixed_faces(face_raw, n_faces)
     return mesh_io.Mesh(v * scale, f)
 
 

@@ -147,3 +147,51 @@ def test_obj_winding_fix(tmp_path):
     tri = loaded.vertices[loaded.faces]
     svol = np.einsum("fi,fi->f", tri[:, 0], np.cross(tri[:, 1], tri[:, 2])).sum()
     assert svol > 0  # reoriented outward
+
+
+def test_load_ply_binary_fast_path(tmp_path):
+    """Binary all-triangle PLY parses through the vectorized path."""
+    import struct
+
+    import numpy as np
+
+    from bayesianposeestimation.jl_tpu.utils.bop import load_ply
+
+    verts = np.asarray([[0, 0, 0], [1000, 0, 0], [0, 1000, 0], [0, 0, 1000]],
+                       np.float32)
+    faces = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    header = (b"ply\nformat binary_little_endian 1.0\n"
+              b"element vertex 4\n"
+              b"property float x\nproperty float y\nproperty float z\n"
+              b"element face 2\n"
+              b"property list uchar int vertex_indices\nend_header\n")
+    body = verts.astype("<f4").tobytes()
+    for f in faces:
+        body += struct.pack("<B3i", 3, *f)
+    p = tmp_path / "tri.ply"
+    p.write_bytes(header + body)
+    mesh = load_ply(p)
+    assert mesh.n_faces == 2
+    np.testing.assert_allclose(mesh.vertices.max(), 1.0)  # mm -> m
+
+
+def test_load_ply_binary_quads_fallback(tmp_path):
+    """Quads fan-triangulate through the mixed-face fallback."""
+    import struct
+
+    import numpy as np
+
+    from bayesianposeestimation.jl_tpu.utils.bop import load_ply
+
+    verts = np.asarray([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    header = (b"ply\nformat binary_little_endian 1.0\n"
+              b"element vertex 4\n"
+              b"property float x\nproperty float y\nproperty float z\n"
+              b"element face 1\n"
+              b"property list uchar int vertex_indices\nend_header\n")
+    body = verts.astype("<f4").tobytes() + struct.pack("<B4i", 4, 0, 1, 2, 3)
+    p = tmp_path / "quad.ply"
+    p.write_bytes(header + body)
+    mesh = load_ply(p)
+    assert mesh.n_faces == 2  # one quad -> two triangles
+    np.testing.assert_array_equal(mesh.faces, [[0, 1, 2], [0, 2, 3]])
