@@ -23,7 +23,11 @@ import jax.numpy as jnp
 from ..distributions import Normal, QuaternionUniform
 from ..graph import BroadcastedNode
 from ..models import pixel as P
-from ..ops.pallas_raster import pallas_render_score
+from ..ops.pallas_raster import (
+    pallas_render_score,
+    resolve_chunk,
+    spatial_sort_faces,
+)
 from ..posterior import tempered_logdensity
 from ..samples import Sample
 
@@ -112,6 +116,15 @@ class FusedPosterior:
         self.backface_cull = backface_cull
         self.score_fn = make_score_fn(params, variant)
         self.simple_reg = variant in _SIMPLE_REG
+        # pre-sort the mesh ONCE, chunk-aligned: compact surface patches per
+        # triangle chunk let the kernel's liveness culling skip dead raster
+        # regions. Doing it here (not per render call) keeps the argsort out
+        # of the sampler's scanned step.
+        scene = experiment.scene
+        self._sorted_faces = spatial_sort_faces(
+            scene["verts"], scene["faces"],
+            resolve_chunk(scene["faces"].shape[0],
+                          params.width * params.height, params.raster_chunk))
 
         if prior_graph is None:
             # point prior without the μ node — the render lives inside the
@@ -143,7 +156,7 @@ class FusedPosterior:
         exp = self.experiment
         params = self.params
         ell_raw, sum_o = pallas_render_score(
-            exp.scene["verts"], exp.scene["faces"], exp.scene["camera"],
+            exp.scene["verts"], self._sorted_faces, exp.scene["camera"],
             t.reshape(-1, 3), r.reshape(-1, 4),
             exp.depth_image, jnp.asarray(exp.prior_o, params.float_type),
             self.score_fn, height=params.height, width=params.width,

@@ -43,10 +43,18 @@ Kernel design (TPU v5e, see /opt/skills/guides/pallas_guide.md):
   bf16 pass corrupts sub-pixel geometry).
 * Culling: triangles that are degenerate, outside (near, far), outside the
   viewport, or backfacing (consistently wound closed meshes; mesh_io
-  reorients OBJ loads) get zeroed forms; per-chunk liveness flags in SMEM
-  scratch let ``@pl.when`` skip fully dead chunks. Culling near/far whole
-  triangles also makes per-pixel depth-range tests unnecessary
-  (perspective-correct depth is bounded by vertex depths).
+  reorients OBJ loads) get zeroed forms. Culling near/far whole triangles
+  also makes per-pixel depth-range tests unnecessary (perspective-correct
+  depth is bounded by vertex depths).
+* Sparse raster work: faces are pre-sorted by chunk-aligned recursive
+  orthogonal bisection (``spatial_sort_faces``) so each triangle chunk is a
+  compact surface patch; the pixel row is split into lane-aligned bands,
+  and per-(chunk, band) liveness flags in SMEM (v-extent interval tests
+  against each band's pixel rows) let ``@pl.when`` skip every region the
+  chunk's live triangles cannot touch — dead bands (object absent), dead
+  chunks (backfacing/off-screen patches), or both. The MXU contraction and
+  the VPU inside-test/z-max epilogue then run only on live
+  [3*chunk, band] blocks.
 * The pixel likelihood is plain elementwise jnp (the same distribution code
   as the CPU path) traced straight into the kernel epilogue.
 """
@@ -63,7 +71,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import quaternions as quat
 from ..camera import CvCamera
 
-__all__ = ["pallas_render_score", "pallas_render_depth", "expand_triangle_rows"]
+__all__ = ["pallas_render_score", "pallas_render_depth", "expand_triangle_rows",
+           "spatial_sort_faces"]
 
 LANE = 128
 # L0/area, L1/area edge functions and the 1/depth form d/area. The third edge
@@ -107,11 +116,22 @@ def _round_up(x, m):
 _CHUNK_VMEM_BUDGET = 16 * 2**20
 
 
+def resolve_chunk(n_faces, n_pix, chunk=None):
+    """The triangle-chunk size a render at ``n_pix`` pixels will use: the
+    explicit ``chunk`` or the VMEM-budget auto choice. Exposed so callers can
+    pre-sort faces chunk-aligned (see spatial_sort_faces)."""
+    if chunk is not None:
+        return chunk
+    return _auto_chunk(n_faces, _round_up(n_pix, LANE))
+
+
 def _auto_chunk(n_faces, p_pad):
     """Chunk choice: multiple of LANE, dot output within the VMEM budget, and
     minimal TOTAL padded rows n_chunks*chunk (a chunk that barely exceeds a
     divisor of the face count can otherwise waste up to ~2x dot work — e.g.
-    1280 faces at chunk 1024 pads to 2048). Ties go to the larger chunk."""
+    1280 faces at chunk 1024 pads to 2048). Ties go to the LARGER chunk:
+    measured on v5e, each extra chunk costs ~0.4 us/pose of split/concat/dot
+    setup — far more than finer-grained liveness culling saves."""
     by_budget = _CHUNK_VMEM_BUDGET // (N_FORMS * 4 * p_pad)
     cmax = max(LANE, by_budget // LANE * LANE)
     f_ceil = _round_up(n_faces, LANE)
@@ -123,6 +143,78 @@ def _auto_chunk(n_faces, p_pad):
                 total == best_total and c > best_c):
             best_total, best_c = total, c
     return best_c
+
+
+def spatial_sort_faces(verts, faces, chunk: int = 64):
+    """Reorder faces by chunk-aligned recursive orthogonal bisection of their
+    centroids: split the face stream along its widest axis into two halves
+    whose sizes are multiples of ``chunk``, recurse until every group is one
+    chunk, and emit groups in traversal order.
+
+    Every ``chunk`` of the resulting triangle stream is then EXACTLY one
+    bisection leaf — a compact surface patch — so for ANY rigid pose it
+    projects to a small image region, and backfacing patches of closed
+    meshes turn whole chunks dead: the kernel's per-(chunk, band) liveness
+    tests skip most of the dense raster work. All split sizes are static
+    (python recursion over static slices), so this is pure XLA
+    (constant-folded for constant meshes; hoisted out of sampler scans for
+    traced ones)."""
+    verts = jnp.asarray(verts)
+    faces = jnp.asarray(faces)
+    n_f = faces.shape[0]
+    if n_f <= chunk:
+        return faces
+    f_pad = _round_up(n_f, chunk)
+    cent = verts[faces].mean(axis=1)
+    # pad rows sort to +inf: they sink to the tail of every right split, so
+    # the traversal ends [real faces..., pads] and perm[:n_f] is all real
+    cent_p = jnp.concatenate(
+        [cent, jnp.full((f_pad - n_f, 3), jnp.inf, cent.dtype)], axis=0)
+
+    def rec(idx):
+        m = idx.shape[0]
+        if m <= chunk:
+            return [idx]
+        c = cent_p[idx]  # [m, 3]
+        finite = jnp.isfinite(c[:, 0])[:, None]
+        span = (jnp.max(jnp.where(finite, c, -jnp.inf), axis=0)
+                - jnp.min(jnp.where(finite, c, jnp.inf), axis=0))
+        ax = jnp.argmax(span)
+        key = jnp.where(finite[:, 0], jnp.take_along_axis(
+            c, jnp.broadcast_to(ax[None, None], (m, 1)), axis=1)[:, 0], jnp.inf)
+        idx = idx[jnp.argsort(key)]
+        k = (m // chunk + 1) // 2 * chunk
+        return rec(idx[:k]) + rec(idx[k:])
+
+    perm = jnp.concatenate(rec(jnp.arange(f_pad)))
+    return faces[perm[:n_f]]
+
+
+# Static cap on the number of @pl.when raster regions (n_chunks * n_bands):
+# finer bands cull more dead pixels but each region carries branch + dot
+# setup overhead, and Mosaic fully unrolls the region loops at compile time.
+_MAX_REGIONS = 64
+
+
+def _band_slices(p_pad, n_chunks):
+    """Split the padded pixel row into bands (lane-aligned static slices).
+    Bands grow from one 128-lane tile until n_chunks * n_bands fits the
+    region cap."""
+    bp = LANE
+    while bp < p_pad and n_chunks * ((p_pad + bp - 1) // bp) > _MAX_REGIONS:
+        bp *= 2
+    return [(s, min(s + bp, p_pad)) for s in range(0, p_pad, bp)]
+
+
+def _band_v_ranges(bands, width, height, n_pix_valid, gc_y):
+    """Per band: inclusive grid-centered v-range of its valid pixel rows,
+    with half-pixel slack (conservative for the 1e-5 edge tolerance)."""
+    out = []
+    for bs, be in bands:
+        rlo = bs // width
+        rhi = min((min(be, n_pix_valid) - 1) // width, height - 1)
+        out.append((rlo - gc_y - 0.5, rhi - gc_y + 0.5))
+    return out
 
 
 def expand_triangle_rows(verts, faces, f_pad: int):
@@ -173,7 +265,7 @@ def _bf16_split(x):
 
 
 def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
-                 backface_cull, score_fn=None, with_mu=False):
+                 backface_cull, score_fn=None, with_mu=False, band_cull=True):
     """Kernel body. Refs: cam (SMEM [1,8]), pose (SMEM [1,8]), tri (VMEM
     [9,f_pad]) [, z (VMEM [1,p_pad]), prior (VMEM [1,p_pad])], outputs, then
     scratch: forms (VMEM [8, 2*f_pad]... see below), live (SMEM [n_chunks]),
@@ -186,7 +278,9 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
     """
     n_chunks = f_pad // chunk
     gc_x, gc_y = _grid_center(width, height)
-    big = float("inf")
+    bands = _band_slices(p_pad, n_chunks) if band_cull else [(0, p_pad)]
+    n_bands = len(bands)
+    band_v = _band_v_ranges(bands, width, height, n_pix_valid, gc_y)
 
     def grid_rows():
         idx = jax.lax.broadcasted_iota(jnp.int32, (1, p_pad), 1)
@@ -197,7 +291,8 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         # duplicated grid: rows 0-2 hit the hi coefficients, rows 3-5 the lo
         return jnp.concatenate([one_grid, one_grid], axis=0)  # [6, p_pad]
 
-    def build_forms(cam_ref, pose_ref, tri_ref, form_refs, live_ref):
+    def build_forms(cam_ref, pose_ref, tri_ref, form_refs, band_live_ref,
+                    chunk_live_ref):
         """Transform + project + linear forms, all on (1, f_pad) rows."""
         fx, fy, sk = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
         cx_off, cy_off = cam_ref[0, 3], cam_ref[0, 4]
@@ -278,20 +373,35 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
             form_refs[g][1:2, :] = rb
             form_refs[g][2:3, :] = rc
 
-        # per-chunk liveness scalars into SMEM (c is static: slices are static)
+        # per-(chunk, band) liveness scalars into SMEM (static slices): a
+        # chunk is live for a band iff some valid triangle's v-extent
+        # intersects the band's pixel-row range. With Morton-sorted faces
+        # (spatial_sort_faces) chunks are compact patches, so most flags die.
         validf = valid.astype(jnp.float32)
+        vmin = jnp.minimum(jnp.minimum(v[0], v[1]), v[2])
+        vmax = jnp.maximum(jnp.maximum(v[0], v[1]), v[2])
         for c in range(n_chunks):
-            live_ref[c] = jnp.max(validf[0:1, c * chunk:(c + 1) * chunk]).astype(
-                jnp.int32)
+            cs = slice(c * chunk, (c + 1) * chunk)
+            chunk_any = None
+            for b, (v_lo, v_hi) in enumerate(band_v):
+                hit = validf[0:1, cs] * (
+                    (vmin[0:1, cs] <= v_hi) & (vmax[0:1, cs] >= v_lo))
+                flag = jnp.max(hit)
+                band_live_ref[c * n_bands + b] = flag.astype(jnp.int32)
+                chunk_any = flag if chunk_any is None else jnp.maximum(
+                    chunk_any, flag)
+            chunk_live_ref[c] = chunk_any.astype(jnp.int32)
 
-    def raster(cam_ref, pose_ref, tri_ref, form_refs, live_ref, maxd_ref):
-        build_forms(cam_ref, pose_ref, tri_ref, form_refs, live_ref)
+    def raster(cam_ref, pose_ref, tri_ref, form_refs, band_live_ref,
+               chunk_live_ref, maxd_ref):
+        build_forms(cam_ref, pose_ref, tri_ref, form_refs, band_live_ref,
+                    chunk_live_ref)
         grid = grid_rows()
         maxd_ref[:] = jnp.zeros((1, p_pad), jnp.float32)
 
         for c in range(n_chunks):
 
-            @pl.when(live_ref[c] > 0)
+            @pl.when(chunk_live_ref[c] > 0)
             def _():
                 his, los = [], []
                 for g in range(N_FORMS):
@@ -304,17 +414,23 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
                 lhs = jnp.concatenate(
                     [jnp.concatenate(his, axis=1),
                      jnp.concatenate(los, axis=1)], axis=0)
-                out = jax.lax.dot_general(
-                    lhs, grid, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [3*chunk, p_pad]
-                w0 = out[0 * chunk:1 * chunk]
-                w1 = out[1 * chunk:2 * chunk]
-                d = out[2 * chunk:3 * chunk]
-                # w2' = 1 - w0' - w1' (exact identity; see N_FORMS note)
-                inside = (jnp.minimum(w0, w1) >= -1e-5) & (w0 + w1 <= 1 + 1e-5)
-                cand = jnp.where(inside, d, 0.0)  # d = 1/depth > 0 when live
-                maxd_ref[:] = jnp.maximum(maxd_ref[:], jnp.max(cand, axis=0,
-                                                               keepdims=True))
+                for b, (bs, be) in enumerate(bands):
+
+                    @pl.when(band_live_ref[c * n_bands + b] > 0)
+                    def _():
+                        out = jax.lax.dot_general(
+                            lhs, grid[:, bs:be], (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [3*chunk, be-bs]
+                        w0 = out[0 * chunk:1 * chunk]
+                        w1 = out[1 * chunk:2 * chunk]
+                        d = out[2 * chunk:3 * chunk]
+                        # w2' = 1 - w0' - w1' (exact identity; N_FORMS note)
+                        inside = (jnp.minimum(w0, w1) >= -1e-5) & (
+                            w0 + w1 <= 1 + 1e-5)
+                        cand = jnp.where(inside, d, 0.0)  # d = 1/depth > 0
+                        maxd_ref[0:1, bs:be] = jnp.maximum(
+                            maxd_ref[0:1, bs:be],
+                            jnp.max(cand, axis=0, keepdims=True))
 
         maxd = maxd_ref[:]
         return jnp.where(maxd > 0, 1.0 / jnp.where(maxd > 0, maxd, 1.0), 0.0)
@@ -325,10 +441,11 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
 
         def render_kernel(cam_ref, pose_ref, tri_ref, mu_ref, *scratch):
             form_refs = scratch[:n_form_scratch]
-            live_ref = scratch[n_form_scratch]
-            maxd_ref = scratch[n_form_scratch + 1]
-            mu_ref[0] = raster(cam_ref, pose_ref, tri_ref, form_refs, live_ref,
-                               maxd_ref)
+            band_live_ref = scratch[n_form_scratch]
+            chunk_live_ref = scratch[n_form_scratch + 1]
+            maxd_ref = scratch[n_form_scratch + 2]
+            mu_ref[0] = raster(cam_ref, pose_ref, tri_ref, form_refs,
+                               band_live_ref, chunk_live_ref, maxd_ref)
 
         return render_kernel
 
@@ -340,9 +457,11 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         else:
             scratch = rest
         form_refs = scratch[:n_form_scratch]
-        live_ref = scratch[n_form_scratch]
-        maxd_ref = scratch[n_form_scratch + 1]
-        mu = raster(cam_ref, pose_ref, tri_ref, form_refs, live_ref, maxd_ref)
+        band_live_ref = scratch[n_form_scratch]
+        chunk_live_ref = scratch[n_form_scratch + 1]
+        maxd_ref = scratch[n_form_scratch + 2]
+        mu = raster(cam_ref, pose_ref, tri_ref, form_refs, band_live_ref,
+                    chunk_live_ref, maxd_ref)
         z = z_ref[:]
         prior_o = prior_ref[:]
         ell_px, o = score_fn(mu, z, prior_o)
@@ -356,18 +475,29 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
     return score_kernel
 
 
-def _scratch_shapes(f_pad, n_chunks, p_pad):
+def _scratch_shapes(f_pad, n_chunks, p_pad, band_cull=True):
+    n_bands = len(_band_slices(p_pad, n_chunks)) if band_cull else 1
     return (
         [pltpu.VMEM((8, f_pad), jnp.float32) for _ in range(N_FORMS)]
-        + [pltpu.SMEM((n_chunks,), jnp.int32), pltpu.VMEM((1, p_pad), jnp.float32)]
+        + [pltpu.SMEM((n_chunks * n_bands,), jnp.int32),
+           pltpu.SMEM((n_chunks,), jnp.int32),
+           pltpu.VMEM((1, p_pad), jnp.float32)]
     )
 
 
-@partial(jax.jit, static_argnames=("height", "width", "chunk", "backface_cull"))
+@partial(jax.jit, static_argnames=("height", "width", "chunk", "backface_cull",
+                                   "band_cull"))
 def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
-                        height=None, width=None, chunk=None, backface_cull=True):
+                        height=None, width=None, chunk=None, backface_cull=True,
+                        band_cull=True):
     """Drop-in Pallas replacement for rasterize.render_depth_batch:
-    [N] poses -> [N, H, W] z-depth maps (0 = background)."""
+    [N] poses -> [N, H, W] z-depth maps (0 = background).
+
+    For best performance pre-sort ``faces`` with
+    ``spatial_sort_faces(verts, faces, resolve_chunk(...))`` ONCE per mesh
+    (FusedPosterior does) — chunk-aligned surface patches let the
+    per-(chunk, band) liveness culling skip most dead raster regions.
+    Correctness does not depend on the order."""
     height = cam.height if height is None else height
     width = cam.width if width is None else width
     _check_resolution(width, height)
@@ -381,7 +511,8 @@ def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
 
     tri_rows = expand_triangle_rows(verts, faces, f_pad)
     kernel = _make_kernel(width, height, p_pad, f_pad, chunk,
-                          float(cam.near), float(cam.far), n_pix, backface_cull)
+                          float(cam.near), float(cam.far), n_pix, backface_cull,
+                          band_cull=band_cull)
 
     mu = pl.pallas_call(
         kernel,
@@ -393,7 +524,7 @@ def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
         ],
         out_specs=pl.BlockSpec((1, 1, p_pad), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, 1, p_pad), jnp.float32),
-        scratch_shapes=_scratch_shapes(f_pad, n_chunks, p_pad),
+        scratch_shapes=_scratch_shapes(f_pad, n_chunks, p_pad, band_cull),
         interpret=_interpret_mode(),
     )(_camera_row(cam, width, height), _pose_rows(t, q), tri_rows)
     return mu[:, 0, :n_pix].reshape(n, height, width)
@@ -405,10 +536,10 @@ def _flatten_pad_image(img, p_pad):
 
 
 @partial(jax.jit, static_argnames=("height", "width", "chunk", "score_fn",
-                                   "return_mu", "backface_cull"))
+                                   "return_mu", "backface_cull", "band_cull"))
 def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
                         score_fn, height=None, width=None, chunk=None,
-                        return_mu=False, backface_cull=True):
+                        return_mu=False, backface_cull=True, band_cull=True):
     """Fully-fused transform + render + associate + score.
 
     ``score_fn(mu, z, prior_o) -> (ell_px, o)``: elementwise per-pixel log
@@ -435,7 +566,8 @@ def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
     )
     kernel = _make_kernel(width, height, p_pad, f_pad, chunk,
                           float(cam.near), float(cam.far), n_pix, backface_cull,
-                          score_fn=score_fn, with_mu=return_mu)
+                          score_fn=score_fn, with_mu=return_mu,
+                          band_cull=band_cull)
 
     out_shape = [
         jax.ShapeDtypeStruct((n, 1, 1), jnp.float32),
@@ -461,7 +593,7 @@ def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
         ],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=_scratch_shapes(f_pad, n_chunks, p_pad),
+        scratch_shapes=_scratch_shapes(f_pad, n_chunks, p_pad, band_cull),
         interpret=_interpret_mode(),
     )(_camera_row(cam, width, height), _pose_rows(t, q), tri_rows, z_row, prior_row)
 

@@ -1,11 +1,10 @@
 """Pallas kernel micro-profiler: where does the time per pose go?
 
-Measures (min over repeats, whole batches scanned in one dispatch — see
-CLAUDE.md interference notes):
-  * render-only vs fused render+score (epilogue cost)
-  * chunk-size sweep at fixed work (per-dot overhead vs VMEM pressure)
-  * batch-size sweep (per-program overhead amortization)
-  * face/pixel scaling (dot-dominated or not)
+The TPU tunnel has ~30 ms interference windows (CLAUDE.md), so wall-clock
+per-dispatch timing is useless for <10 ms kernels. Instead every measurement
+scans the kernel call R times inside ONE dispatch (with a data dependence
+between iterations so XLA cannot hoist or CSE the call) and reports the
+slope between two repeat counts — constant dispatch overhead cancels.
 
     python scripts/kernel_profile.py
 """
@@ -17,17 +16,45 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+R_LO, R_HI = 2, 12
 
-def measure(fn, *args, reps=5):
+
+def make_scanned(fn, r):
+    """Scan fn r times with an output->input data dependence."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(t, q):
+        def body(carry, _):
+            tc, qc = carry
+            out = fn(tc, qc)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            bump = (leaf.reshape(-1)[0] * 0.0).astype(tc.dtype)
+            return (tc + bump, qc), None
+
+        (tf, _), _ = jax.lax.scan(body, (t, q), None, length=r)
+        return tf
+
+    return run
+
+
+def slope_time(fn, t, q, reps=3):
+    """Per-call seconds via the repeat-count slope (dispatch cancels)."""
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile
+    lo, hi = make_scanned(fn, R_LO), make_scanned(fn, R_HI)
+    jax.block_until_ready(lo(t, q))
+    jax.block_until_ready(hi(t, q))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        best = min(best, time.perf_counter() - t0)
+        jax.block_until_ready(lo(t, q))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(hi(t, q))
+        t_hi = time.perf_counter() - t0
+        best = min(best, (t_hi - t_lo) / (R_HI - R_LO))
     return best
 
 
@@ -38,7 +65,6 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from bayesianposeestimation.jl_tpu import quaternions as quat
     from bayesianposeestimation.jl_tpu.camera import CvCamera
@@ -51,11 +77,15 @@ def main():
     from bayesianposeestimation.jl_tpu.utils import mesh_io
 
     print(f"devices: {jax.devices()}")
-    # interference probe
     x = jnp.zeros(8)
     f = jax.jit(lambda v: v + 1)
-    probe = measure(f, x, reps=10)
-    print(f"tiny dispatch: {probe*1e3:.2f} ms ({'CLEAN' if probe < 1e-3 else 'POLLUTED'})")
+    f(x).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(10):
+        f(x).block_until_ready()
+    probe = (time.perf_counter() - t0) / 10
+    print(f"tiny dispatch: {probe*1e3:.2f} ms "
+          f"({'CLEAN' if probe < 1e-3 else 'POLLUTED — slope method active'})")
 
     mesh = mesh_io.icosphere_mesh(0.06, 3)  # 1280 faces
     cam = CvCamera(width=30, height=30, f_x=36.0, f_y=36.0, c_x=14.5, c_y=14.5)
@@ -68,40 +98,35 @@ def main():
     verts, faces = jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces)
     z_img = jnp.ones((30, 30))
 
-    def render_only(t, q, chunk=None):
-        return pallas_render_depth(verts, faces, cam, t, q, chunk=chunk)
+    def fused(v2, f2, cam2, z2, chunk=None):
+        def fn(t, q):
+            return pallas_render_score(v2, f2, cam2, t, q, z2, 0.7, score_fn,
+                                       chunk=chunk)
+        return fn
 
-    def render_score(t, q, chunk=None):
-        return pallas_render_score(verts, faces, cam, t, q, z_img, 0.7,
-                                   score_fn, chunk=chunk)
-
-    base = measure(jax.jit(lambda t, q: render_score(t, q)), t, q)
+    base = slope_time(fused(verts, faces, cam, z_img), t, q)
     print(f"\nfused render+score, n={n}, 1280 faces, 30x30: "
           f"{base/n*1e6:.2f} us/pose ({n/base:,.0f} poses/s)")
-    ro = measure(jax.jit(lambda t, q: render_only(t, q)), t, q)
+    ro = slope_time(lambda a, b: pallas_render_depth(verts, faces, cam, a, b), t, q)
     print(f"render-only (returns [N,H,W] to HBM):        {ro/n*1e6:.2f} us/pose")
 
     print("\nchunk sweep (fused):")
     for chunk in (128, 256, 384, 640, 1280):
-        tt = measure(jax.jit(lambda t, q, c=chunk: render_score(t, q, c)), t, q)
+        tt = slope_time(fused(verts, faces, cam, z_img, chunk), t, q)
         print(f"  chunk {chunk:5d}: {tt/n*1e6:7.2f} us/pose")
 
     print("\nbatch-size sweep (fused, chunk auto):")
-    for nn in (100, 400, 1600, 6400):
+    for nn in (100, 400, 1600):
         tn = jnp.array([0.0, 0.0, 1.0]) + 0.02 * jax.random.normal(key, (nn, 3))
         qn = quat.qnormalize(jax.random.normal(jax.random.PRNGKey(1), (nn, 4)))
-        tt = measure(jax.jit(lambda a, b: render_score(a, b)), tn, qn)
+        tt = slope_time(fused(verts, faces, cam, z_img), tn, qn)
         print(f"  n {nn:5d}: {tt/nn*1e6:7.2f} us/pose")
 
     print("\nmesh-size sweep (fused, n=1600):")
-    for sub, label in ((2, "320"), (3, "1280"), (4, "5120")):
+    for sub, label in ((1, "80"), (2, "320"), (3, "1280"), (4, "5120")):
         m = mesh_io.icosphere_mesh(0.06, sub)
         v2, f2 = jnp.asarray(m.vertices), jnp.asarray(m.faces)
-
-        def rs(a, b, v2=v2, f2=f2):
-            return pallas_render_score(v2, f2, cam, a, b, z_img, 0.7, score_fn)
-
-        tt = measure(jax.jit(rs), t, q)
+        tt = slope_time(fused(v2, f2, cam, z_img), t, q)
         print(f"  {label:>5s} faces: {tt/n*1e6:7.2f} us/pose")
 
     print("\npixel sweep (fused, n=1600, 1280 faces):")
@@ -109,12 +134,7 @@ def main():
         cam2 = CvCamera(width=side, height=side, f_x=1.2 * side, f_y=1.2 * side,
                         c_x=(side - 1) / 2, c_y=(side - 1) / 2)
         z2 = jnp.ones((side, side))
-
-        def rs2(a, b, cam2=cam2, z2=z2):
-            return pallas_render_score(verts, faces, cam2, a, b, z2, 0.7,
-                                       score_fn)
-
-        tt = measure(jax.jit(rs2), t, q)
+        tt = slope_time(fused(verts, faces, cam2, z2), t, q)
         print(f"  {side:3d}x{side:<3d}: {tt/n*1e6:7.2f} us/pose")
 
 

@@ -119,6 +119,46 @@ def test_fused_variants_run(variant, key):
     assert bool(jnp.all(jnp.isfinite(ell)))
 
 
+def test_spatial_sort_is_permutation(key):
+    """Bisection reordering must keep the face set identical (only order may
+    change) and tighten per-chunk centroid extents (chunks are bisection
+    leaves; a shell patch of 1/n_chunks of the surface area bounds how tight
+    they can get, so assert a modest but real improvement)."""
+    from bayesianposeestimation.jl_tpu.ops.pallas_raster import spatial_sort_faces
+
+    mesh = icosphere_mesh(0.06, 3)
+    verts, faces = jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces)
+    chunk = 128
+    sorted_faces = np.asarray(spatial_sort_faces(verts, faces, chunk))
+    a = {tuple(r) for r in np.asarray(faces)}
+    b = {tuple(r) for r in sorted_faces}
+    assert a == b
+
+    def mean_extent(fc):
+        cent = np.asarray(verts)[fc].mean(axis=1)
+        f_pad = len(cent) // chunk * chunk
+        ch = cent[:f_pad].reshape(-1, chunk, 3)
+        return float((ch.max(axis=1) - ch.min(axis=1)).sum(axis=-1).mean())
+
+    assert mean_extent(sorted_faces) < 0.85 * mean_extent(np.asarray(faces))
+
+
+def test_band_slices_cover_and_cap():
+    from bayesianposeestimation.jl_tpu.ops.pallas_raster import (
+        _MAX_REGIONS,
+        _band_slices,
+    )
+
+    for p_pad, n_chunks in [(1024, 5), (1024, 1), (4864, 5), (16384, 10),
+                            (128, 64)]:
+        bands = _band_slices(p_pad, n_chunks)
+        assert bands[0][0] == 0 and bands[-1][1] == p_pad
+        for (s0, e0), (s1, e1) in zip(bands, bands[1:]):
+            assert e0 == s1
+        assert all((e - s) % 128 == 0 for s, e in bands)
+        assert n_chunks * len(bands) <= max(_MAX_REGIONS, n_chunks)
+
+
 def test_auto_chunk_minimizes_padding():
     """The chunk choice must minimize total padded rows: 1280 faces must not
     pad to 2048 (the round-1 auto-chunk wasted 60% dot work there)."""
