@@ -48,13 +48,14 @@ Kernel design (TPU v5e, see /opt/skills/guides/pallas_guide.md):
   depth is bounded by vertex depths).
 * Sparse raster work: faces are pre-sorted by chunk-aligned recursive
   orthogonal bisection (``spatial_sort_faces``) so each triangle chunk is a
-  compact surface patch; the pixel row is split into lane-aligned bands,
-  and per-(chunk, band) liveness flags in SMEM (v-extent interval tests
-  against each band's pixel rows) let ``@pl.when`` skip every region the
-  chunk's live triangles cannot touch — dead bands (object absent), dead
-  chunks (backfacing/off-screen patches), or both. The MXU contraction and
-  the VPU inside-test/z-max epilogue then run only on live
-  [3*chunk, band] blocks.
+  compact surface patch; per-(pose, chunk) liveness flags in SMEM let
+  ``@pl.when`` skip chunks whose patch is fully backfacing/off-screen for
+  that pose. Optionally (``band_cull=True``) the pixel row also splits into
+  lane-aligned bands with per-(pose, chunk, band) v-extent flags — a large
+  win when objects cover few pixel rows (wide-frame tracking, lost
+  particles), but a net LOSS for crop cameras where the object fills the
+  frame (each extra band costs an MXU pipeline drain, ~0.2 us, and no band
+  dies), hence off by default.
 * The pixel likelihood is plain elementwise jnp (the same distribution code
   as the CPU path) traced straight into the kernel epilogue.
 """
@@ -236,13 +237,24 @@ def _camera_row(cam: CvCamera, width, height):
     ])[None, :]
 
 
+# Poses per Pallas program: form building, liveness tests, and the score
+# epilogue vectorize across poses on the 8 VPU sublanes (one pose per
+# sublane); the per-pose raster regions share one program's prologue.
+POSE_BLOCK = 8
+
+
 def _pose_rows(t, q):
-    """[N, 1, 8] pose scalars: tx ty tz qw qx qy qz pad (middle singleton so
-    the SMEM block's last two dims equal the array dims)."""
+    """[G, POSE_BLOCK, 8] pose scalars: tx ty tz qw qx qy qz pad. The pose
+    batch is padded with behind-camera sentinels (tz = -1 -> every triangle
+    fails the near test -> empty render) so G = ceil(N / POSE_BLOCK)."""
     n = t.shape[0]
-    return jnp.concatenate(
+    n_pad = _round_up(max(n, 1), POSE_BLOCK)
+    rows = jnp.concatenate(
         [t.astype(jnp.float32), q.astype(jnp.float32),
-         jnp.zeros((n, 1), jnp.float32)], axis=1)[:, None, :]
+         jnp.zeros((n, 1), jnp.float32)], axis=1)
+    pad = jnp.tile(jnp.array([[0.0, 0.0, -1.0, 1.0, 0.0, 0.0, 0.0, 0.0]],
+                             jnp.float32), (n_pad - n, 1))
+    return jnp.concatenate([rows, pad], axis=0).reshape(-1, POSE_BLOCK, 8)
 
 
 def _interpret_mode() -> bool:
@@ -266,17 +278,23 @@ def _bf16_split(x):
 
 def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
                  backface_cull, score_fn=None, with_mu=False, band_cull=True):
-    """Kernel body. Refs: cam (SMEM [1,8]), pose (SMEM [1,8]), tri (VMEM
-    [9,f_pad]) [, z (VMEM [1,p_pad]), prior (VMEM [1,p_pad])], outputs, then
-    scratch: forms (VMEM [8, 2*f_pad]... see below), live (SMEM [n_chunks]),
-    maxd (VMEM [1,p_pad]).
+    """Kernel body. Refs: cam (SMEM [1,8]), pose (VMEM [1, POSE_BLOCK, 8]),
+    tri (VMEM [9,f_pad]) [, z (VMEM [1,p_pad]), prior (VMEM [1,p_pad])],
+    outputs, then scratch: 9 coefficient planes (VMEM [POSE_BLOCK, f_pad],
+    pose = sublane), band/chunk liveness (SMEM), maxd (VMEM
+    [POSE_BLOCK, p_pad]).
 
-    Forms scratch layout: one (1, f_pad) row per linear-form coefficient —
-    12 rows stored as one (16, f_pad) f32 scratch would need unaligned sublane
-    stores, so instead we use 4 scratches of (8, f_pad): rows 0..2 = (a, b, c)
-    of that group. Row slices [0:3] are tile-aligned.
+    One program handles POSE_BLOCK poses: the transform/projection/form math
+    runs on [POSE_BLOCK, f_pad] arrays (pose scalars as [PB, 1] columns
+    broadcast against [1, f_pad] triangle rows — full sublane utilization,
+    ~8x the VPU throughput of one-pose rows), and the score epilogue reduces
+    [POSE_BLOCK, p_pad] at once. Only the raster dot + inside-test epilogue
+    loop per pose (their work is inherently per (pose, triangle, pixel)).
+    Coefficient stores are full [PB, f_pad] blocks (aligned); the per-pose
+    raster reads single-sublane [1, chunk] slices back.
     """
     n_chunks = f_pad // chunk
+    PB = POSE_BLOCK
     gc_x, gc_y = _grid_center(width, height)
     bands = _band_slices(p_pad, n_chunks) if band_cull else [(0, p_pad)]
     n_bands = len(bands)
@@ -293,12 +311,13 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
 
     def build_forms(cam_ref, pose_ref, tri_ref, form_refs, band_live_ref,
                     chunk_live_ref):
-        """Transform + project + linear forms, all on (1, f_pad) rows."""
+        """Transform + project + linear forms for POSE_BLOCK poses at once:
+        every array below is [PB, f_pad] (pose = sublane)."""
         fx, fy, sk = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
         cx_off, cy_off = cam_ref[0, 3], cam_ref[0, 4]
-        tx, ty, tz = pose_ref[0, 0, 0], pose_ref[0, 0, 1], pose_ref[0, 0, 2]
-        qw, qx, qy, qz = (pose_ref[0, 0, 3], pose_ref[0, 0, 4], pose_ref[0, 0, 5],
-                          pose_ref[0, 0, 6])
+        pose = pose_ref[0]  # [PB, 8]
+        tx, ty, tz = pose[:, 0:1], pose[:, 1:2], pose[:, 2:3]
+        qw, qx, qy, qz = pose[:, 3:4], pose[:, 4:5], pose[:, 5:6], pose[:, 6:7]
         # rotation matrix scalars from the quaternion
         r00 = 1 - 2 * (qy * qy + qz * qz)
         r01 = 2 * (qx * qy - qw * qz)
@@ -363,79 +382,80 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         # two edge groups and the depth group are stored/evaluated. For culled
         # triangles factor=0 -> w0'=w1'=0 (inside-test passes vacuously with
         # the derived w2'=1) but d'=0, so they lose to the background max.
-        groups = [
-            (a0 * factor, b0 * factor, c0 * factor),
-            (a1 * factor, b1 * factor, c1 * factor),
-            (d_a * factor, d_b * factor, d_c * factor),
-        ]
-        for g, (ra, rb, rc) in enumerate(groups):
-            form_refs[g][0:1, :] = ra
-            form_refs[g][1:2, :] = rb
-            form_refs[g][2:3, :] = rc
+        coeffs = [a0 * factor, b0 * factor, c0 * factor,
+                  a1 * factor, b1 * factor, c1 * factor,
+                  d_a * factor, d_b * factor, d_c * factor]
+        for k, val in enumerate(coeffs):
+            form_refs[k][:] = val  # full [PB, f_pad] aligned store
 
-        # per-(chunk, band) liveness scalars into SMEM (static slices): a
-        # chunk is live for a band iff some valid triangle's v-extent
-        # intersects the band's pixel-row range. With Morton-sorted faces
+        # per-(pose, chunk, band) liveness scalars into SMEM (static slices):
+        # a chunk is live for a band iff some valid triangle's v-extent
+        # intersects the band's pixel-row range. With bisection-sorted faces
         # (spatial_sort_faces) chunks are compact patches, so most flags die.
         validf = valid.astype(jnp.float32)
         vmin = jnp.minimum(jnp.minimum(v[0], v[1]), v[2])
         vmax = jnp.maximum(jnp.maximum(v[0], v[1]), v[2])
         for c in range(n_chunks):
             cs = slice(c * chunk, (c + 1) * chunk)
-            chunk_any = None
             for b, (v_lo, v_hi) in enumerate(band_v):
-                hit = validf[0:1, cs] * (
-                    (vmin[0:1, cs] <= v_hi) & (vmax[0:1, cs] >= v_lo))
-                flag = jnp.max(hit)
-                band_live_ref[c * n_bands + b] = flag.astype(jnp.int32)
-                chunk_any = flag if chunk_any is None else jnp.maximum(
-                    chunk_any, flag)
-            chunk_live_ref[c] = chunk_any.astype(jnp.int32)
+                hit = validf[:, cs] * (
+                    (vmin[:, cs] <= v_hi) & (vmax[:, cs] >= v_lo))  # [PB, chunk]
+                for p in range(PB):
+                    band_live_ref[(p * n_chunks + c) * n_bands + b] = jnp.max(
+                        hit[p:p + 1, :]).astype(jnp.int32)
+            for p in range(PB):
+                chunk_live_ref[p * n_chunks + c] = jnp.max(
+                    validf[p:p + 1, cs]).astype(jnp.int32)
 
     def raster(cam_ref, pose_ref, tri_ref, form_refs, band_live_ref,
                chunk_live_ref, maxd_ref):
         build_forms(cam_ref, pose_ref, tri_ref, form_refs, band_live_ref,
                     chunk_live_ref)
         grid = grid_rows()
-        maxd_ref[:] = jnp.zeros((1, p_pad), jnp.float32)
+        maxd_ref[:] = jnp.zeros((PB, p_pad), jnp.float32)
 
-        for c in range(n_chunks):
+        for p in range(PB):
+            for c in range(n_chunks):
 
-            @pl.when(chunk_live_ref[c] > 0)
-            def _():
-                his, los = [], []
-                for g in range(N_FORMS):
-                    hi, lo = _bf16_split(
-                        form_refs[g][0:3, pl.ds(c * chunk, chunk)])
-                    his.append(hi)
-                    los.append(lo)
-                # [6, 3*chunk]: groups along M, lo correction along K (the
-                # MXU pads K=3 anyway — the lo pass is free)
-                lhs = jnp.concatenate(
-                    [jnp.concatenate(his, axis=1),
-                     jnp.concatenate(los, axis=1)], axis=0)
-                for b, (bs, be) in enumerate(bands):
+                @pl.when(chunk_live_ref[p * n_chunks + c] > 0)
+                def _():
+                    cs = pl.ds(c * chunk, chunk)
+                    his, los = [], []
+                    for g in range(N_FORMS):
+                        rows = jnp.concatenate(
+                            [form_refs[3 * g + k][p:p + 1, cs]
+                             for k in range(3)], axis=0)  # [3, chunk]
+                        hi, lo = _bf16_split(rows)
+                        his.append(hi)
+                        los.append(lo)
+                    # [6, 3*chunk]: groups along M, lo correction along K
+                    # (the MXU pads K=3 anyway — the lo pass is free)
+                    lhs = jnp.concatenate(
+                        [jnp.concatenate(his, axis=1),
+                         jnp.concatenate(los, axis=1)], axis=0)
+                    for b, (bs, be) in enumerate(bands):
 
-                    @pl.when(band_live_ref[c * n_bands + b] > 0)
-                    def _():
-                        out = jax.lax.dot_general(
-                            lhs, grid[:, bs:be], (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [3*chunk, be-bs]
-                        w0 = out[0 * chunk:1 * chunk]
-                        w1 = out[1 * chunk:2 * chunk]
-                        d = out[2 * chunk:3 * chunk]
-                        # w2' = 1 - w0' - w1' (exact identity; N_FORMS note)
-                        inside = (jnp.minimum(w0, w1) >= -1e-5) & (
-                            w0 + w1 <= 1 + 1e-5)
-                        cand = jnp.where(inside, d, 0.0)  # d = 1/depth > 0
-                        maxd_ref[0:1, bs:be] = jnp.maximum(
-                            maxd_ref[0:1, bs:be],
-                            jnp.max(cand, axis=0, keepdims=True))
+                        @pl.when(band_live_ref[
+                            (p * n_chunks + c) * n_bands + b] > 0)
+                        def _():
+                            out = jax.lax.dot_general(
+                                lhs, grid[:, bs:be], (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [3c, band]
+                            w0 = out[0 * chunk:1 * chunk]
+                            w1 = out[1 * chunk:2 * chunk]
+                            d = out[2 * chunk:3 * chunk]
+                            # w2' = 1 - w0' - w1' (exact identity; N_FORMS)
+                            inside = (jnp.minimum(w0, w1) >= -1e-5) & (
+                                w0 + w1 <= 1 + 1e-5)
+                            cand = jnp.where(inside, d, 0.0)  # d = 1/depth > 0
+                            maxd_ref[p:p + 1, bs:be] = jnp.maximum(
+                                maxd_ref[p:p + 1, bs:be],
+                                jnp.max(cand, axis=0, keepdims=True))
 
         maxd = maxd_ref[:]
         return jnp.where(maxd > 0, 1.0 / jnp.where(maxd > 0, maxd, 1.0), 0.0)
 
-    n_form_scratch = N_FORMS
+    n_form_scratch = 3 * N_FORMS
 
     if score_fn is None:
 
@@ -461,14 +481,16 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         chunk_live_ref = scratch[n_form_scratch + 1]
         maxd_ref = scratch[n_form_scratch + 2]
         mu = raster(cam_ref, pose_ref, tri_ref, form_refs, band_live_ref,
-                    chunk_live_ref, maxd_ref)
+                    chunk_live_ref, maxd_ref)  # [PB, p_pad]
         z = z_ref[:]
         prior_o = prior_ref[:]
-        ell_px, o = score_fn(mu, z, prior_o)
+        ell_px, o = score_fn(mu, z, prior_o)  # broadcast [PB, p_pad]
         idx = jax.lax.broadcasted_iota(jnp.int32, (1, p_pad), 1)
         pixmask = idx < n_pix_valid
-        ell_ref[0] = jnp.sum(jnp.where(pixmask, ell_px, 0.0)).reshape(1, 1)
-        sumo_ref[0] = jnp.sum(jnp.where(pixmask, o, 0.0)).reshape(1, 1)
+        ell_ref[0] = jnp.sum(jnp.where(pixmask, ell_px, 0.0), axis=1,
+                             keepdims=True)  # [PB, 1]
+        sumo_ref[0] = jnp.sum(jnp.where(pixmask, jnp.broadcast_to(
+            o, ell_px.shape), 0.0), axis=1, keepdims=True)
         if with_mu:
             mu_ref[0] = mu
 
@@ -478,10 +500,11 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
 def _scratch_shapes(f_pad, n_chunks, p_pad, band_cull=True):
     n_bands = len(_band_slices(p_pad, n_chunks)) if band_cull else 1
     return (
-        [pltpu.VMEM((8, f_pad), jnp.float32) for _ in range(N_FORMS)]
-        + [pltpu.SMEM((n_chunks * n_bands,), jnp.int32),
-           pltpu.SMEM((n_chunks,), jnp.int32),
-           pltpu.VMEM((1, p_pad), jnp.float32)]
+        [pltpu.VMEM((POSE_BLOCK, f_pad), jnp.float32)
+         for _ in range(3 * N_FORMS)]
+        + [pltpu.SMEM((POSE_BLOCK * n_chunks * n_bands,), jnp.int32),
+           pltpu.SMEM((POSE_BLOCK * n_chunks,), jnp.int32),
+           pltpu.VMEM((POSE_BLOCK, p_pad), jnp.float32)]
     )
 
 
@@ -489,7 +512,7 @@ def _scratch_shapes(f_pad, n_chunks, p_pad, band_cull=True):
                                    "band_cull"))
 def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
                         height=None, width=None, chunk=None, backface_cull=True,
-                        band_cull=True):
+                        band_cull=False):
     """Drop-in Pallas replacement for rasterize.render_depth_batch:
     [N] poses -> [N, H, W] z-depth maps (0 = background).
 
@@ -514,20 +537,22 @@ def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
                           float(cam.near), float(cam.far), n_pix, backface_cull,
                           band_cull=band_cull)
 
+    pose_rows = _pose_rows(t, q)
+    n_prog = pose_rows.shape[0]
     mu = pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(n_prog,),
         in_specs=[
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, POSE_BLOCK, 8), lambda i: (i, 0, 0)),
             pl.BlockSpec((9, f_pad), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, p_pad), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, 1, p_pad), jnp.float32),
+        out_specs=pl.BlockSpec((1, POSE_BLOCK, p_pad), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_prog, POSE_BLOCK, p_pad), jnp.float32),
         scratch_shapes=_scratch_shapes(f_pad, n_chunks, p_pad, band_cull),
         interpret=_interpret_mode(),
-    )(_camera_row(cam, width, height), _pose_rows(t, q), tri_rows)
-    return mu[:, 0, :n_pix].reshape(n, height, width)
+    )(_camera_row(cam, width, height), pose_rows, tri_rows)
+    return mu.reshape(-1, p_pad)[:n, :n_pix].reshape(n, height, width)
 
 
 def _flatten_pad_image(img, p_pad):
@@ -539,7 +564,7 @@ def _flatten_pad_image(img, p_pad):
                                    "return_mu", "backface_cull", "band_cull"))
 def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
                         score_fn, height=None, width=None, chunk=None,
-                        return_mu=False, backface_cull=True, band_cull=True):
+                        return_mu=False, backface_cull=True, band_cull=False):
     """Fully-fused transform + render + associate + score.
 
     ``score_fn(mu, z, prior_o) -> (ell_px, o)``: elementwise per-pixel log
@@ -569,24 +594,28 @@ def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
                           score_fn=score_fn, with_mu=return_mu,
                           band_cull=band_cull)
 
+    pose_rows = _pose_rows(t, q)
+    n_prog = pose_rows.shape[0]
     out_shape = [
-        jax.ShapeDtypeStruct((n, 1, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n, 1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_prog, POSE_BLOCK, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_prog, POSE_BLOCK, 1), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0)),
-        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, POSE_BLOCK, 1), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, POSE_BLOCK, 1), lambda i: (i, 0, 0)),
     ]
     if return_mu:
-        out_shape.append(jax.ShapeDtypeStruct((n, 1, p_pad), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 1, p_pad), lambda i: (i, 0, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_prog, POSE_BLOCK, p_pad), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, POSE_BLOCK, p_pad), lambda i: (i, 0, 0)))
 
     outs = pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(n_prog,),
         in_specs=[
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, POSE_BLOCK, 8), lambda i: (i, 0, 0)),
             pl.BlockSpec((9, f_pad), lambda i: (0, 0)),
             pl.BlockSpec((1, p_pad), lambda i: (0, 0)),
             pl.BlockSpec((1, p_pad), lambda i: (0, 0)),
@@ -595,10 +624,11 @@ def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
         out_shape=tuple(out_shape),
         scratch_shapes=_scratch_shapes(f_pad, n_chunks, p_pad, band_cull),
         interpret=_interpret_mode(),
-    )(_camera_row(cam, width, height), _pose_rows(t, q), tri_rows, z_row, prior_row)
+    )(_camera_row(cam, width, height), pose_rows, tri_rows, z_row, prior_row)
 
-    ell = outs[0][:, 0, 0]
-    sumo = outs[1][:, 0, 0]
+    ell = outs[0].reshape(-1)[:n]
+    sumo = outs[1].reshape(-1)[:n]
     if return_mu:
-        return ell, sumo, outs[2][:, 0, :n_pix].reshape(n, height, width)
+        mu = outs[2].reshape(-1, p_pad)[:n, :n_pix].reshape(n, height, width)
+        return ell, sumo, mu
     return ell, sumo
