@@ -299,6 +299,13 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
     bands = _band_slices(p_pad, n_chunks) if band_cull else [(0, p_pad)]
     n_bands = len(bands)
     band_v = _band_v_ranges(bands, width, height, n_pix_valid, gc_y)
+    # dense-path phases: lane-aligned halves of the pixel row, software-
+    # pipelined so the MXU (next dot) overlaps the VPU (previous epilogue)
+    if p_pad >= 2 * LANE:
+        half = _round_up(p_pad // 2, LANE)
+        dense_phases = [(0, half), (half, p_pad)]
+    else:
+        dense_phases = [(0, p_pad)]
 
     def grid_rows():
         idx = jax.lax.broadcasted_iota(jnp.int32, (1, p_pad), 1)
@@ -433,24 +440,43 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
                     lhs = jnp.concatenate(
                         [jnp.concatenate(his, axis=1),
                          jnp.concatenate(los, axis=1)], axis=0)
-                    for b, (bs, be) in enumerate(bands):
 
-                        @pl.when(band_live_ref[
-                            (p * n_chunks + c) * n_bands + b] > 0)
-                        def _():
-                            out = jax.lax.dot_general(
-                                lhs, grid[:, bs:be], (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [3c, band]
-                            w0 = out[0 * chunk:1 * chunk]
-                            w1 = out[1 * chunk:2 * chunk]
-                            d = out[2 * chunk:3 * chunk]
-                            # w2' = 1 - w0' - w1' (exact identity; N_FORMS)
-                            inside = (jnp.minimum(w0, w1) >= -1e-5) & (
-                                w0 + w1 <= 1 + 1e-5)
-                            cand = jnp.where(inside, d, 0.0)  # d = 1/depth > 0
-                            maxd_ref[p:p + 1, bs:be] = jnp.maximum(
-                                maxd_ref[p:p + 1, bs:be],
-                                jnp.max(cand, axis=0, keepdims=True))
+                    def epilogue(out, bs, be, p=p):
+                        w0 = out[0 * chunk:1 * chunk]
+                        w1 = out[1 * chunk:2 * chunk]
+                        d = out[2 * chunk:3 * chunk]
+                        # w2' = 1 - w0' - w1' (exact identity; N_FORMS)
+                        inside = (jnp.minimum(w0, w1) >= -1e-5) & (
+                            w0 + w1 <= 1 + 1e-5)
+                        cand = jnp.where(inside, d, 0.0)  # d = 1/depth > 0
+                        maxd_ref[p:p + 1, bs:be] = jnp.maximum(
+                            maxd_ref[p:p + 1, bs:be],
+                            jnp.max(cand, axis=0, keepdims=True))
+
+                    def dot_band(bs, be):
+                        return jax.lax.dot_general(
+                            lhs, grid[:, bs:be], (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [3c, band]
+
+                    if band_cull:
+                        for b, (bs, be) in enumerate(bands):
+
+                            @pl.when(band_live_ref[
+                                (p * n_chunks + c) * n_bands + b] > 0)
+                            def _(bs=bs, be=be):
+                                epilogue(dot_band(bs, be), bs, be)
+                    else:
+                        # dense path: issue the NEXT phase's MXU contraction
+                        # before the previous phase's VPU epilogue so the
+                        # scheduler can overlap the units (one dot would
+                        # serialize dot -> epilogue).
+                        pend = None
+                        for bs, be in dense_phases:
+                            out = dot_band(bs, be)
+                            if pend is not None:
+                                epilogue(*pend)
+                            pend = (out, bs, be)
+                        epilogue(*pend)
 
         maxd = maxd_ref[:]
         return jnp.where(maxd > 0, 1.0 / jnp.where(maxd > 0, maxd, 1.0), 0.0)
