@@ -45,8 +45,13 @@ def main():
     models_dir = root / "models"
     models_dir.mkdir(parents=True, exist_ok=True)
 
-    cam = CvCamera(width=128, height=96, f_x=120.0, f_y=120.0, c_x=63.5, c_y=47.5,
-                   near=0.01, far=10.0)
+    # VGA with Kinect-like intrinsics: objects of ~0.1 m at 0.8-1.2 m span
+    # 50-80 px, matching the BOP datasets the reference ran on (lm/tless are
+    # 640x480) — at the earlier 128x96 an occluded instance kept only ~20-50
+    # visible pixels and the posterior was dominated by noise, failing for
+    # lack of information rather than algorithmic reasons.
+    cam = CvCamera(width=640, height=480, f_x=580.0, f_y=580.0,
+                   c_x=319.5, c_y=239.5, near=0.01, far=10.0)
     K = [cam.f_x, 0.0, cam.c_x, 0.0, cam.f_y, cam.c_y, 0.0, 0.0, 1.0]
 
     objects = {

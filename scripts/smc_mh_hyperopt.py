@@ -21,11 +21,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from smc_bop_val import evaluate_scene, scene_inference  # noqa: E402
 
-# (name, low, high, log-scale)
+# (name, low, high, log-scale). The first three mirror the reference's
+# search space (smc_mh_hyperopt.jl:182-204); sigma_t and o_mask_not extend
+# it for multi-instance scenes: a tight position prior and a strong
+# "outside-the-segment" penalty are what keep the occluded instance's chain
+# from converging onto its better-scoring occluder.
 SPACE = [
     ("o_mask_is", 0.5, 1.0, False),
     ("pixel_sigma", 1e-4, 0.02, True),
     ("sigma_r", 0.01, 3.14159265, False),
+    ("sigma_t", 0.004, 0.05, True),
+    ("o_mask_not", 0.005, 0.5, True),
 ]
 
 
@@ -55,9 +61,10 @@ def next_candidate(history, rng):
     import numpy as np
 
     if not history:
-        return dict(o_mask_is=0.9, pixel_sigma=0.005, sigma_r=float(np.pi))
+        return dict(o_mask_is=0.9, pixel_sigma=0.005, sigma_r=float(np.pi),
+                    sigma_t=0.03, o_mask_not=0.3)
     n = len(history)
-    if n < 4:  # exploration batch
+    if n < 6:  # exploration batch
         return _from_unit(rng.uniform(size=len(SPACE)))
     # CEM: fit a Gaussian to the top-30% trials in unit space
     ranked = sorted(history, key=lambda h: h["cost"])
@@ -99,7 +106,8 @@ def main():
         parameters = Parameters(
             n_particles=args.n_particles, time_budget=args.time_budget,
             pixel_sigma=cand["pixel_sigma"], association_sigma=cand["pixel_sigma"],
-            o_mask_is=cand["o_mask_is"],
+            o_mask_is=cand["o_mask_is"], o_mask_not=cand["o_mask_not"],
+            sigma_t=(cand["sigma_t"],) * 3,
             proposal_sigma_r=(cand["sigma_r"],) * 3,
         )
         costs = []
