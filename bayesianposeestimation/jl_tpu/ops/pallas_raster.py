@@ -15,12 +15,13 @@ design precomputed per-(pose, triangle) coefficients in XLA — the swarm of
 small XLA ops cost more than the rasterization itself.)
 
 Kernel design (TPU v5e, see /opt/skills/guides/pallas_guide.md):
-* Grid over poses. Per program: read 7 pose scalars from SMEM, rotate the
-  [f_pad] triangle-vertex rows on the VPU (exact f32), project, and build
+* Grid over POSE_BLOCK=8-pose blocks. Per program: rotate + project the
+  [f_pad] triangle-vertex rows for all 8 poses at once ([8, f_pad] arrays,
+  pose scalars as [8, 1] columns — full VPU sublane utilization) and build
   the per-triangle linear forms in homogeneous pixel coordinates (u, v, 1)
   — two edge functions and the perspective-correct depth numerator
   d = Σ (1/z_i) L_i — pre-multiplied by sign(area) so the inside test is
-  branch-free.
+  branch-free. Only the raster dot + inside-test epilogue loop per pose.
 * Every form is pre-divided by the signed area: the inside test becomes
   ``min(w0', w1') >= -1e-5 and w0'+w1' <= 1+1e-5`` (the THIRD edge function
   is never evaluated: barycentric edge numerators sum to the double area
@@ -29,10 +30,10 @@ Kernel design (TPU v5e, see /opt/skills/guides/pallas_guide.md):
   a running MAX over d' with a single exact divide per pixel after the
   chunk loop — no per-(triangle, pixel) reciprocal, and the constant area
   form disappears.
-* The forms live in (1, f_pad) VMEM scratch rows; the triangle axis streams
-  through in static chunks of ``chunk``: ONE [6, 3*chunk] x [6, P] MXU
-  contraction per chunk evaluates all three form groups (concatenated along
-  the M axis) at every pixel.
+* The forms live in [8, f_pad] VMEM coefficient planes (pose = sublane);
+  the triangle axis streams through in static chunks of ``chunk``: per
+  (pose, chunk) ONE [6, 3*chunk] x [6, P] MXU contraction evaluates all
+  three form groups (concatenated along the M axis) at every pixel.
 * Geometry matmuls use a manual bf16x2 scheme: the pixel grid is centered on
   a static half-integer point (EXACT in bf16; the true principal point is
   folded into the traced coefficients) and each [3, chunk] slice is split

@@ -119,6 +119,19 @@ def test_fused_variants_run(variant, key):
     assert bool(jnp.all(jnp.isfinite(ell)))
 
 
+def test_band_cull_matches_dense(key):
+    """band_cull=True (per-(pose, chunk, band) liveness) must render exactly
+    the same depth maps as the dense phased path."""
+    mesh = icosphere_mesh(0.06, 2)
+    verts, faces = jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces)
+    t, q = _poses(key, 9)  # crosses one POSE_BLOCK boundary
+    a = np.asarray(pallas_render_depth(verts, faces, CAM, t, q, chunk=128,
+                                       band_cull=False))
+    b = np.asarray(pallas_render_depth(verts, faces, CAM, t, q, chunk=128,
+                                       band_cull=True))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_spatial_sort_is_permutation(key):
     """Bisection reordering must keep the face set identical (only order may
     change) and tighten per-chunk centroid extents (chunks are bisection
