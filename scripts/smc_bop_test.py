@@ -39,10 +39,12 @@ def main():
         savename,
     )
 
+    # hyperopt-tuned parameters (see scripts/smc_bop_val.py for provenance)
     parameters = Parameters(
         n_particles=args.n_particles, time_budget=args.time_budget,
-        pixel_sigma=0.005, association_sigma=0.005, o_mask_is=0.9,
-        proposal_sigma_r=(np.pi, np.pi, np.pi),
+        pixel_sigma=0.0019, association_sigma=0.0019, o_mask_is=0.87,
+        o_mask_not=0.20, sigma_t=(0.0108, 0.0108, 0.0108),
+        proposal_sigma_r=(1.48, 1.48, 1.48),
     )
 
     import jax.numpy as jnp
