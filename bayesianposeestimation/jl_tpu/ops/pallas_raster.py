@@ -401,16 +401,26 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         # intersects the band's pixel-row range. With bisection-sorted faces
         # (spatial_sort_faces) chunks are compact patches, so most flags die.
         validf = valid.astype(jnp.float32)
-        vmin = jnp.minimum(jnp.minimum(v[0], v[1]), v[2])
-        vmax = jnp.maximum(jnp.maximum(v[0], v[1]), v[2])
+        if band_cull:
+            # per-triangle v-extents, widened by the inside test's 1e-5
+            # BARYCENTRIC tolerance scaled to pixels (1e-5 of the extent):
+            # a near-plane-grazing triangle can project thousands of pixels
+            # tall, where the tolerance region outgrows the half-pixel slack
+            # baked into band_v.
+            vmin = jnp.minimum(jnp.minimum(v[0], v[1]), v[2])
+            vmax = jnp.maximum(jnp.maximum(v[0], v[1]), v[2])
+            tol = 1e-5 * (vmax - vmin)
+            vmin = vmin - tol
+            vmax = vmax + tol
         for c in range(n_chunks):
             cs = slice(c * chunk, (c + 1) * chunk)
-            for b, (v_lo, v_hi) in enumerate(band_v):
-                hit = validf[:, cs] * (
-                    (vmin[:, cs] <= v_hi) & (vmax[:, cs] >= v_lo))  # [PB, chunk]
-                for p in range(PB):
-                    band_live_ref[(p * n_chunks + c) * n_bands + b] = jnp.max(
-                        hit[p:p + 1, :]).astype(jnp.int32)
+            if band_cull:
+                for b, (v_lo, v_hi) in enumerate(band_v):
+                    hit = validf[:, cs] * (
+                        (vmin[:, cs] <= v_hi) & (vmax[:, cs] >= v_lo))  # [PB, chunk]
+                    for p in range(PB):
+                        band_live_ref[(p * n_chunks + c) * n_bands + b] = jnp.max(
+                            hit[p:p + 1, :]).astype(jnp.int32)
             for p in range(PB):
                 chunk_live_ref[p * n_chunks + c] = jnp.max(
                     validf[p:p + 1, cs]).astype(jnp.int32)

@@ -4,7 +4,11 @@ The TPU tunnel has ~30 ms interference windows (CLAUDE.md), so wall-clock
 per-dispatch timing is useless for <10 ms kernels. Instead every measurement
 scans the kernel call R times inside ONE dispatch (with a data dependence
 between iterations so XLA cannot hoist or CSE the call) and reports the
-slope between two repeat counts — constant dispatch overhead cancels.
+slope between two LONG repeat counts — constant dispatch overhead cancels
+and interference amortizes. The slope is computed from the per-length
+minima (min over reps of t_hi minus min over reps of t_lo); taking the min
+of per-rep DIFFERENCES instead would select exactly the rep whose lo-scan
+caught an interference window (the smallest, most wrong slope).
 
     python scripts/kernel_profile.py
 """
@@ -16,7 +20,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-R_LO, R_HI = 2, 12
+R_LO, R_HI = 200, 2000
 
 
 def make_scanned(fn, r):
@@ -46,16 +50,15 @@ def slope_time(fn, t, q, reps=3):
     lo, hi = make_scanned(fn, R_LO), make_scanned(fn, R_HI)
     jax.block_until_ready(lo(t, q))
     jax.block_until_ready(hi(t, q))
-    best = float("inf")
+    best_lo = best_hi = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         jax.block_until_ready(lo(t, q))
-        t_lo = time.perf_counter() - t0
+        best_lo = min(best_lo, time.perf_counter() - t0)
         t0 = time.perf_counter()
         jax.block_until_ready(hi(t, q))
-        t_hi = time.perf_counter() - t0
-        best = min(best, (t_hi - t_lo) / (R_HI - R_LO))
-    return best
+        best_hi = min(best_hi, time.perf_counter() - t0)
+    return (best_hi - best_lo) / (R_HI - R_LO)
 
 
 def main():
@@ -122,14 +125,14 @@ def main():
         tt = slope_time(fused(verts, faces, cam, z_img), tn, qn)
         print(f"  n {nn:5d}: {tt/nn*1e6:7.2f} us/pose")
 
-    print("\nmesh-size sweep (fused, n=1600):")
+    print(f"\nmesh-size sweep (fused, n={n}):")
     for sub, label in ((1, "80"), (2, "320"), (3, "1280"), (4, "5120")):
         m = mesh_io.icosphere_mesh(0.06, sub)
         v2, f2 = jnp.asarray(m.vertices), jnp.asarray(m.faces)
         tt = slope_time(fused(v2, f2, cam, z_img), t, q)
         print(f"  {label:>5s} faces: {tt/n*1e6:7.2f} us/pose")
 
-    print("\npixel sweep (fused, n=1600, 1280 faces):")
+    print(f"\npixel sweep (fused, n={n}, 1280 faces):")
     for side in (16, 30, 64, 128):
         cam2 = CvCamera(width=side, height=side, f_x=1.2 * side, f_y=1.2 * side,
                         c_x=(side - 1) / 2, c_y=(side - 1) / 2)

@@ -9,7 +9,7 @@ python scripts/smc_bop_val.py --scenes 1
 python scripts/mcmc_baseline.py --scenes 1
 python scripts/smc_bop_test.py --scenes 1
 python scripts/smc_benchmark.py --scenes 1 --particles 50 100 --budgets 0.25 0.5
-python scripts/smc_mh_hyperopt.py --trials 4 --scenes 1
+python scripts/smc_mh_hyperopt.py --trials 30 --scenes 1
 python scripts/inference_time.py --particles 10 100 500 --resolutions 25 50
 python scripts/smc_observation.py --scenes 1 --variants association smooth simple --o-priors mask
 python scripts/smc_priors.py --scenes 1

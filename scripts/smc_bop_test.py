@@ -14,7 +14,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from smc_bop_val import scene_inference  # noqa: E402
+from smc_bop_val import TUNED_PARAMETERS, scene_inference  # noqa: E402
 
 
 def main():
@@ -39,12 +39,10 @@ def main():
         savename,
     )
 
-    # hyperopt-tuned parameters (see scripts/smc_bop_val.py for provenance)
+    # hyperopt-tuned parameters (see smc_bop_val.TUNED_PARAMETERS provenance)
     parameters = Parameters(
         n_particles=args.n_particles, time_budget=args.time_budget,
-        pixel_sigma=0.0019, association_sigma=0.0019, o_mask_is=0.87,
-        o_mask_not=0.20, sigma_t=(0.0108, 0.0108, 0.0108),
-        proposal_sigma_r=(1.48, 1.48, 1.48),
+        **TUNED_PARAMETERS,
     )
 
     import jax.numpy as jnp

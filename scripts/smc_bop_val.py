@@ -20,6 +20,19 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+# hyperopt-tuned parameters (scripts/smc_mh_hyperopt.py on the VGA
+# multi-instance synthetic set, trial 7 of data/exp_pro/smc_mh_hyperopt/
+# trials.csv, VSD recall 1.0 at a 0.25 s budget). vs the reference's tuned
+# values (smc_bop_val.jl:36-39) the decisive change is the tight position
+# prior sigma_t ~ 11 mm: it keeps an occluded instance's chain from
+# converging onto its better-scoring occluder. Shared with smc_bop_test.py.
+TUNED_PARAMETERS = dict(
+    pixel_sigma=0.0019, association_sigma=0.0019, o_mask_is=0.87,
+    o_mask_not=0.20, sigma_t=(0.0108, 0.0108, 0.0108),
+    proposal_sigma_r=(1.48, 1.48, 1.48),
+)
+
+
 def scene_inference(config, bop_dir, parameters):
     """Estimate poses for every target row of one scene (parity:
     scene_inference at smc_bop_val.jl:114-162)."""
@@ -258,17 +271,9 @@ def main():
         plot_recall_curves,
     )
 
-    # hyperopt-tuned parameters (scripts/smc_mh_hyperopt.py on the VGA
-    # multi-instance synthetic set, trial 7 of data/exp_pro/smc_mh_hyperopt/
-    # trials.csv, VSD recall 1.0 at a 0.25 s budget). vs the reference's
-    # tuned values (smc_bop_val.jl:36-39) the decisive change is the tight
-    # position prior sigma_t ~ 11 mm: it keeps an occluded instance's chain
-    # from converging onto its better-scoring occluder.
     parameters = Parameters(
         n_particles=args.n_particles, time_budget=args.time_budget,
-        pixel_sigma=0.0019, association_sigma=0.0019, o_mask_is=0.87,
-        o_mask_not=0.20, sigma_t=(0.0108, 0.0108, 0.0108),
-        proposal_sigma_r=(1.48, 1.48, 1.48),
+        **TUNED_PARAMETERS,
     )
 
     configs = dict_list({

@@ -112,9 +112,13 @@ def main():
         )
         costs = []
         for scene_id in args.scenes:
+            # the candidate values are part of the cache key: a trial index
+            # alone would silently replay results computed with DIFFERENT
+            # parameters after any change to SPACE or the candidate sequence
             config = {"sampler": args.sampler, "dataset": args.dataset,
                       "testset": args.testset, "scene_id": scene_id,
-                      "trial": trial}
+                      "trial": trial,
+                      **{k: round(v, 6) for k, v in cand.items()}}
             result, _ = produce_or_load(
                 lambda c: scene_inference(c, args.bop_dir, parameters),
                 config, datadir("exp_raw", args.experiment_name),
