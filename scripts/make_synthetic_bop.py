@@ -144,7 +144,11 @@ def main():
         (sdir / "scene_camera.json").write_text(json.dumps(cams))
         (sdir / "scene_gt.json").write_text(json.dumps(gts))
         (sdir / "scene_gt_info.json").write_text(json.dumps(infos))
-    (root / "test_targets_bop19.json").write_text(json.dumps(targets))
+    if "test" in args.split:
+        # BOP convention: the targets json belongs to the test split only
+        # (train/val splits enumerate scene_gt directly) — writing it for a
+        # non-test split would clobber the real test targets.
+        (root / "test_targets_bop19.json").write_text(json.dumps(targets))
     print(f"wrote synthetic BOP dataset: {split_dir} "
           f"({args.n_scenes} scenes x {args.n_images} images, {len(objects)} objects, "
           f"multi_instance={args.multi_instance})")
