@@ -102,7 +102,8 @@ def scene_inference(config, bop_dir, parameters):
         else:
             ys, xs = np.nonzero(np.asarray(full_mask))
             bbox = (xs.min(), xs.max(), ys.min(), ys.max()) if xs.size else (0, 1, 0, 1)
-            prior_t = point_from_segmentation(bbox, full_depth, full_mask, full_cam)
+            prior_t = point_from_segmentation(bbox, full_depth, full_mask,
+                                              full_cam, diameter=diameter)
         cam = crop_camera(full_cam, prior_t, diameter,
                           width=parameters.width, height=parameters.height)
         obs = crop_image(full_depth, full_cam, cam)
