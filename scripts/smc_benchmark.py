@@ -15,7 +15,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from smc_bop_val import evaluate_scene, scene_inference  # noqa: E402
+from smc_bop_val import TUNED_PARAMETERS, evaluate_scene, scene_inference  # noqa: E402
 
 
 def main():
@@ -50,8 +50,7 @@ def main():
     for config in configs:
         parameters = Parameters(
             n_particles=config["n_particles"], time_budget=config["pose_time"],
-            pixel_sigma=0.005, association_sigma=0.005, o_mask_is=0.9,
-            proposal_sigma_r=(np.pi, np.pi, np.pi),
+            **TUNED_PARAMETERS,
         )
         print(f"config: {config}")
         result, _ = produce_or_load(
