@@ -100,7 +100,12 @@ from .models.pixel import (
     truncated_mixture,
     truncated_tail,
 )
-from .ops.pallas_raster import pallas_render_depth, pallas_render_score
+from .ops.pallas_raster import (
+    pallas_render_depth,
+    pallas_render_score,
+    resolve_chunk,
+    spatial_sort_faces,
+)
 from .ops.rasterize import render_depth, render_depth_batch
 from .parameters import Experiment, Parameters
 from .posterior import PosteriorModel, retemper, tempered_logdensity
