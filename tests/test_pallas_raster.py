@@ -33,8 +33,6 @@ def test_pallas_render_matches_xla(mesh_fn, key):
     t, q = _poses(key, 5)
     a = np.asarray(render_depth_batch(verts, faces, CAM, t, q, chunk=64))
     b = np.asarray(pallas_render_depth(verts, faces, CAM, t, q, chunk=64))
-    print("DBG devices", len(jax.devices()), "backend", jax.default_backend(),
-          "x64", jax.config.jax_enable_x64, "b:", b[(b > 0)][:3])
     assert np.mean((a > 0) != (b > 0)) < 0.01
     both = (a > 0) & (b > 0)
     np.testing.assert_allclose(a[both], b[both], atol=2e-3)
