@@ -117,6 +117,23 @@ def test_fused_variants_run(variant, key):
     assert bool(jnp.all(jnp.isfinite(ell)))
 
 
+def test_non_square_render_matches_xla(key):
+    """width != height exercises the flat-index row/col math (idx % width)
+    that every square test leaves untested — the PF runs at 80x60."""
+    cam = CvCamera(width=24, height=10, f_x=20.0, f_y=20.0, c_x=11.5, c_y=4.5,
+                   near=0.01, far=10.0)
+    mesh = icosphere_mesh(0.06, 1)
+    verts, faces = jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces)
+    t, q = _poses(key, 4)
+    a = np.asarray(render_depth_batch(verts, faces, cam, t, q, chunk=64))
+    for band_cull in (False, True):
+        b = np.asarray(pallas_render_depth(verts, faces, cam, t, q, chunk=64,
+                                           band_cull=band_cull))
+        assert np.mean((a > 0) != (b > 0)) < 0.01
+        both = (a > 0) & (b > 0)
+        np.testing.assert_allclose(a[both], b[both], atol=2e-3)
+
+
 def test_band_cull_matches_dense(key):
     """band_cull=True (per-(pose, chunk, band) liveness) must render exactly
     the same depth maps as the dense phased path."""
