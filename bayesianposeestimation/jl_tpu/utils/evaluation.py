@@ -38,6 +38,7 @@ __all__ = [
     "normalized_adds_error",
     "vsd_error",
     "normalized_vsd_error",
+    "vsd_errors_batch",
     "match_errors",
     "match_bop19_errors",
     "match_scene_errors",
@@ -59,19 +60,51 @@ def _transform(points, t, q):
     return quat.qrotate(jnp.asarray(q), jnp.asarray(points)) + jnp.asarray(t)
 
 
-def adds_error(points, es_t, es_q, gt_t, gt_q):
+def adds_error(points, es_t, es_q, gt_t, gt_q, max_points=2048, chunk=4096):
     """ADD-S: mean nearest-neighbor distance between the estimate- and
-    gt-transformed model point clouds (symmetric-friendly ADD)."""
+    gt-transformed model point clouds (symmetric-friendly ADD).
+
+    Reference-scale meshes carry 10^5+ vertices; the dense pairwise matrix
+    is 10^10 floats there (the reference falls back to host KD-trees +
+    ThreadsX, Evaluation.jl:9,207). TPU-native strategy instead:
+
+    * ``max_points``: evenly-strided subsample of the model cloud before the
+      pairwise min (BOP-toolkit style; deterministic). None = exact.
+    * ``chunk``: when the (sub)cloud still exceeds this, the estimate axis is
+      scanned in chunks with a running per-gt-point min, bounding memory at
+      O(V * chunk) instead of O(V^2).
+    """
+    points = jnp.asarray(points)
+    n = points.shape[0]
+    if max_points is not None and n > max_points:
+        idx = jnp.linspace(0, n - 1, max_points).astype(jnp.int32)
+        points = points[idx]
+        n = max_points
     pe = _transform(points, es_t, es_q)
     pg = _transform(points, gt_t, gt_q)
-    d2 = jnp.sum((pg[:, None, :] - pe[None, :, :]) ** 2, axis=-1)
-    return jnp.mean(jnp.sqrt(jnp.min(d2, axis=1)))
+    if n <= chunk:
+        d2 = jnp.sum((pg[:, None, :] - pe[None, :, :]) ** 2, axis=-1)
+        return jnp.mean(jnp.sqrt(jnp.min(d2, axis=1)))
+    n_chunks = -(-n // chunk)
+    # pad with a far-away sentinel (min ignores it; inf-inf would NaN)
+    pad = n_chunks * chunk - n
+    pe_pad = jnp.concatenate([pe, jnp.full((pad, 3), 1e18, pe.dtype)])
+    pe_chunks = pe_pad.reshape(n_chunks, chunk, 3)
+
+    def body(best, pe_c):
+        d2 = jnp.sum((pg[:, None, :] - pe_c[None, :, :]) ** 2, axis=-1)
+        return jnp.minimum(best, jnp.min(d2, axis=1)), None
+
+    best, _ = jax.lax.scan(body, jnp.full((n,), jnp.inf, pg.dtype), pe_chunks)
+    return jnp.mean(jnp.sqrt(best))
 
 
-def normalized_adds_error(points, es_t, es_q, gt_t, gt_q, diameter):
+def normalized_adds_error(points, es_t, es_q, gt_t, gt_q, diameter,
+                          max_points=2048):
     """ADD-S / diameter (parity: normalized_adds_error at Evaluation.jl:27-38;
     correct if < ADDS_THETA = 0.1)."""
-    return adds_error(points, es_t, es_q, gt_t, gt_q) / diameter
+    return adds_error(points, es_t, es_q, gt_t, gt_q,
+                      max_points=max_points) / diameter
 
 
 def _visibility(render_d, scene_dist, delta):
@@ -136,6 +169,52 @@ def normalized_vsd_error(scene, cam, scene_depth_img, es_t, es_q, gt_t, gt_q,
                      diameter=diameter, normalized=True)
 
 
+@jax.jit
+def _vsd_batch_impl(verts, faces, cam, scene_dist, es_t, es_q, gt_t, gt_q,
+                    delta, taus_m):
+    """All-estimates-vs-one-gt VSD in ONE compiled program: renders the
+    N estimate poses + the gt pose in a single batched raster call and
+    evaluates every τ. [N, T] errors for taus_m (absolute meters)."""
+    poses_t = jnp.concatenate([es_t, gt_t[None]], axis=0)
+    poses_q = jnp.concatenate([es_q, gt_q[None]], axis=0)
+    depths = render_depth_batch(verts, faces, cam, poses_t, poses_q)
+    dists = depth_to_distance(depths, cam)
+    d_es, d_gt = dists[:-1], dists[-1]
+    vis_gt = _visibility(d_gt, scene_dist, delta)
+    vis_es = _visibility(d_es, scene_dist[None], delta)
+    union = vis_es | vis_gt[None]
+    n_union = jnp.sum(union, axis=(1, 2))
+    both = vis_es & vis_gt[None]
+    diff = jnp.abs(d_es - d_gt[None])
+    ok = both[None] & (diff[None] < taus_m[:, None, None, None])
+    err = 1.0 - jnp.sum(ok, axis=(2, 3)) / jnp.maximum(n_union[None], 1)
+    return jnp.where(n_union[None] > 0, err, 1.0).T  # [N, T]
+
+
+def vsd_errors_batch(scene, cam, scene_depth_img, es_ts, es_qs, gt_t, gt_q,
+                     diameter, delta=BOP_DELTA, tau=0.02,
+                     taus_bop=BOP19_THRESHOLDS):
+    """BOP18 + BOP19 VSD of N estimates against one gt in one jitted call.
+
+    Returns (vsd [N], vsdbop [N, n_tau]). This is the production eval path:
+    the per-pair ``vsd_error`` wrapper re-traces eagerly (fine on CPU, ~ms
+    per op through the TPU tunnel — minutes per image); here the renders and
+    all τ thresholds fuse into one XLA program, compiled once per
+    (mesh, crop) shape."""
+    scene_z = jnp.asarray(scene_depth_img)
+    scene_z = jnp.where(scene_z <= 0, jnp.inf, scene_z)
+    scene_dist = depth_to_distance(scene_z, cam)
+    taus_m = jnp.concatenate([
+        jnp.asarray([tau], jnp.float32),
+        jnp.asarray(taus_bop, jnp.float32) * jnp.float32(diameter)])
+    errs = _vsd_batch_impl(
+        scene["verts"], scene["faces"], cam, scene_dist,
+        jnp.asarray(es_ts, jnp.float32), jnp.asarray(es_qs, jnp.float32),
+        jnp.asarray(gt_t, jnp.float32), jnp.asarray(gt_q, jnp.float32),
+        jnp.float32(delta), taus_m)
+    return np.asarray(errs[:, 0]), np.asarray(errs[:, 1:])
+
+
 # --------------------------------------------------------------------------- #
 # Greedy matching + recall (host-side, tiny)
 # --------------------------------------------------------------------------- #
@@ -189,7 +268,7 @@ def match_bop19_errors(scores, errors_per_estimate):
     return out
 
 
-def match_scene_errors(result_rows, errors_fn, min_visib=0.1):
+def match_scene_errors(result_rows, errors_fn, min_visib=0.1, gt_rows=None):
     """BOP-semantics evaluation: group estimates per (scene_id, img_id,
     obj_id), compute each estimate's error against EVERY ground-truth
     instance of that object in the image, drop gts with
@@ -197,12 +276,20 @@ def match_scene_errors(result_rows, errors_fn, min_visib=0.1):
     first) to gts.
 
     Parity: /root/reference/src/Evaluation.jl:109-147 (match_obj_errors via
-    outer join of estimates x gts) and :196-215 (visib_fract >= 0.1 filter,
+    outer join of estimates x gts) and :173-216 (gt set from
+    gt_dataframe/gt_info_dataframe, visib_fract >= 0.1 filter,
     per-(scene,img,obj) grouping).
 
     ``result_rows``: dicts with scene_id, img_id, obj_id, gt_id, t, q, score,
     gt_t, gt_R, visib_fract (one row per estimate, carrying its target gt).
-    ``errors_fn(est_rows, gt_rows) -> dict`` with per-metric error matrices:
+    ``gt_rows``: the ground-truth annotations (dicts with scene_id, img_id,
+    obj_id, gt_id, gt_t, gt_R, visib_fract). When given, the recall
+    denominator comes from THIS set — outer-join semantics: a gt with no
+    estimate rows still counts as a failure (inf error), matching the
+    reference's ``outerjoin(gt_df, est_df)``. When omitted, the gt set is
+    reconstructed from the estimate rows (legacy behavior; inflates recall
+    if inference ever skips an instance).
+    ``errors_fn(est_rows, gt_group) -> dict`` with per-metric error matrices:
     'adds'/'vsd' [n_est, n_gt], 'vsdbop' [n_est, n_gt, n_tau].
 
     Returns dict of matched per-gt error arrays concatenated over groups
@@ -214,15 +301,35 @@ def match_scene_errors(result_rows, errors_fn, min_visib=0.1):
             (int(r["scene_id"]), int(r["img_id"]), int(r["obj_id"])), []
         ).append(r)
 
+    if gt_rows is not None:
+        gt_groups: dict = {}
+        for g in gt_rows:
+            gt_groups.setdefault(
+                (int(g["scene_id"]), int(g["img_id"]), int(g["obj_id"])), {}
+            ).setdefault(int(g["gt_id"]), g)
+        # "Only estimates for which a ground truth exists are relevant"
+        # (Evaluation.jl:199) — groups are enumerated from the gt set.
+        group_keys = list(gt_groups)
+    else:
+        gt_groups = {k: {int(r["gt_id"]): r for r in ests}
+                     for k, ests in groups.items()}
+        group_keys = list(groups)
+
+    n_tau = len(BOP19_THRESHOLDS)
     out = {"adds": [], "vsd": [], "vsdbop": []}
-    for _, ests in groups.items():
-        # the gt set of the group: one entry per distinct gt instance
-        gts = {int(r["gt_id"]): r for r in ests}
-        gt_rows = [g for g in gts.values()
-                   if float(g.get("visib_fract", 1.0)) >= min_visib]
-        if not gt_rows:
+    for key in group_keys:
+        gt_group = [g for g in gt_groups[key].values()
+                    if float(g.get("visib_fract", 1.0)) >= min_visib]
+        if not gt_group:
             continue
-        errs = errors_fn(ests, gt_rows)
+        ests = groups.get(key, [])
+        if not ests:
+            # no estimate at all for this group: every gt is a failure
+            out["adds"].append(np.full(len(gt_group), np.inf))
+            out["vsd"].append(np.full(len(gt_group), np.inf))
+            out["vsdbop"].append(np.full((len(gt_group), n_tau), np.inf))
+            continue
+        errs = errors_fn(ests, gt_group)
         scores = [float(r["score"]) for r in ests]
         if "adds" in errs:
             out["adds"].append(match_errors(scores, errs["adds"]))

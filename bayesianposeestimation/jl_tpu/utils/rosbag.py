@@ -251,12 +251,20 @@ def read_bag(path, topics=None):
             connections[conn_id] = (topic, msgtype)
         elif op == OP_CHUNK:
             comp = header.get("compression", b"none").decode()
-            payload = bz2.decompress(data) if comp == "bz2" else data
+            if comp == "bz2":
+                payload = bz2.decompress(data)
+            elif comp == "none":
+                payload = data
+            else:
+                raise ValueError(f"unsupported chunk compression {comp!r}")
             for h2, d2 in _records(payload):
                 yield from handle(h2, d2)
         elif op == OP_MSG:
             conn_id = struct.unpack("<I", header["conn"])[0]
-            (stamp,) = struct.unpack("<Q", header["time"])
+            # Bag 2.0 'time' header field is secs(u32) + nsecs(u32), NOT a
+            # u64 nanosecond count.
+            secs, nsecs = struct.unpack("<II", header["time"])
+            stamp = secs * 1_000_000_000 + nsecs
             topic, msgtype = connections.get(conn_id, ("", ""))
             if topics is not None and topic not in topics:
                 return
@@ -302,9 +310,12 @@ def write_bag(path, messages):
                              "topic": topic.encode()}, inner)
     for topic, msgtype, stamp_ns, msg in messages:
         data = _SERIALIZERS[msgtype](msg)
+        stamp_ns = int(stamp_ns)
         chunk += record({"op": bytes([OP_MSG]),
                          "conn": struct.pack("<I", conn_ids[(topic, msgtype)]),
-                         "time": struct.pack("<Q", int(stamp_ns))}, data)
+                         "time": struct.pack(
+                             "<II", stamp_ns // 1_000_000_000,
+                             stamp_ns % 1_000_000_000)}, data)
 
     out = MAGIC
     out += record({"op": bytes([OP_BAG_HEADER]),

@@ -191,12 +191,24 @@ def evaluate_scene(config, bop_dir, parameters, result_rows):
     EVERY gt instance of the object, gts below 10% visibility are dropped,
     and the per-group error matrices are greedily matched by score.
 
+    The recall denominator comes from the GT annotations
+    (gt_dataframe/gt_info_dataframe outer-join semantics,
+    Evaluation.jl:185-199): a gt instance with no estimate row counts as a
+    failure instead of silently vanishing.
+
+    VSD uses 100x100 OBJECT-CENTERED crop cameras around each gt (parity:
+    the reference's "context using 100x100px crops", Evaluation.jl:152-159 +
+    PoseErrors.crop_camera) — NOT a full-image downscale, which would leave
+    a tabletop object ~10 px wide and make the discrepancy test far too
+    tolerant.
+
     The evaluation mesh is the FULL-resolution model (the reference
     evaluates undecimated; decimation is for inference only)."""
     import jax.numpy as jnp
     import numpy as np
 
     from bayesianposeestimation.jl_tpu import quaternions as quat
+    from bayesianposeestimation.jl_tpu.camera import crop_camera, crop_image
     from bayesianposeestimation.jl_tpu.utils import bop
     from bayesianposeestimation.jl_tpu.utils import evaluation as ev
 
@@ -217,30 +229,38 @@ def evaluate_scene(config, bop_dir, parameters, result_rows):
         r0 = {**ests[0], "datasubset_path": datasubset}
         mesh = eval_mesh(r0)
         diameter = bop.model_diameter(r0)
-        cam = bop.camera_for_row(r0, 100, 100)  # 100x100 eval crops (Evaluation.jl:159)
-        depth = jnp.asarray(bop.load_depth_image(r0, 100, 100))
+        full_cam = bop.camera_for_row(r0)
+        full_depth = bop.load_depth_image(r0)
         scene = {"verts": jnp.asarray(mesh.vertices),
                  "faces": jnp.asarray(mesh.faces)}
         n_est, n_gt = len(ests), len(gt_rows)
         adds = np.zeros((n_est, n_gt))
         vsd = np.zeros((n_est, n_gt))
         vsdbop = np.zeros((n_est, n_gt, len(ev.BOP19_THRESHOLDS)))
+        es_ts = np.stack([np.asarray(e["t"], np.float32) for e in ests])
+        es_qs = np.stack([np.asarray(e["q"], np.float32) for e in ests])
         for j, g in enumerate(gt_rows):
             gt_t = jnp.asarray(g["gt_t"], jnp.float32)
             gt_q = jnp.asarray(quat.matrix_to_quat(jnp.asarray(g["gt_R"], jnp.float32)))
+            # per-gt 100x100 crop: the object spans ~2/3 of the eval images
+            cam = crop_camera(full_cam, np.asarray(g["gt_t"], np.float32),
+                              diameter, width=100, height=100)
+            depth = jnp.asarray(crop_image(full_depth, full_cam, cam))
+            # one jitted program renders all estimates + the gt and scores
+            # every tau (eager per-pair calls cost minutes via the tunnel)
+            vsd[:, j], vsdbop[:, j] = ev.vsd_errors_batch(
+                scene, cam, depth, es_ts, es_qs, gt_t, gt_q, diameter,
+                delta=vsd_delta)
             for i, e in enumerate(ests):
-                es_t, es_q = jnp.asarray(e["t"]), jnp.asarray(e["q"])
                 adds[i, j] = float(ev.normalized_adds_error(
-                    scene["verts"], es_t, es_q, gt_t, gt_q, diameter))
-                vsd[i, j] = float(ev.vsd_error(
-                    scene, cam, depth, es_t, es_q, gt_t, gt_q,
-                    delta=vsd_delta, tau=0.02))
-                vsdbop[i, j] = np.asarray(ev.normalized_vsd_error(
-                    scene, cam, depth, es_t, es_q, gt_t, gt_q, diameter,
-                    delta=vsd_delta))
+                    scene["verts"], jnp.asarray(es_ts[i]),
+                    jnp.asarray(es_qs[i]), gt_t, gt_q, diameter))
         return {"adds": adds, "vsd": vsd, "vsdbop": vsdbop}
 
-    return ev.match_scene_errors(result_rows, errors_fn)
+    gt_rows = [dict(r) for _, r in
+               bop.bop_test_or_train(bop_dir, dataset, config["testset"],
+                                     config["scene_id"]).iterrows()]
+    return ev.match_scene_errors(result_rows, errors_fn, gt_rows=gt_rows)
 
 
 def main():

@@ -82,6 +82,32 @@ def test_vsdbop_monotone_in_tau():
     assert np.all(np.diff(errs) <= 1e-6)  # larger tau -> smaller error
 
 
+def test_vsd_errors_batch_matches_per_pair():
+    """The one-program batched eval path equals the per-pair wrappers."""
+    mesh = cube_mesh(0.1)
+    scene = {"verts": jnp.asarray(mesh.vertices), "faces": jnp.asarray(mesh.faces)}
+    d = mesh_diameter(mesh)
+    t = jnp.array([0.0, 0.0, 1.0])
+    q = quat.quat_identity()
+    depth = render_depth(scene["verts"], scene["faces"], CAM, t, q)
+    es_ts = np.stack([np.asarray(t), np.asarray(t) + [0.01, 0, 0],
+                      np.asarray(t) + [0, 0, 0.05]]).astype(np.float32)
+    es_qs = np.tile(np.asarray(q, np.float32), (3, 1))
+    es_qs[1] = np.asarray(quat.qexp(jnp.array([0.0, 0.1, 0.0])))
+    vsd_b, vsdbop_b = ev.vsd_errors_batch(scene, CAM, depth, es_ts, es_qs,
+                                          t, q, d)
+    assert vsd_b.shape == (3,)
+    assert vsdbop_b.shape == (3, len(ev.BOP19_THRESHOLDS))
+    for i in range(3):
+        ref = float(ev.vsd_error(scene, CAM, depth, jnp.asarray(es_ts[i]),
+                                 jnp.asarray(es_qs[i]), t, q, tau=0.02))
+        np.testing.assert_allclose(vsd_b[i], ref, atol=1e-6)
+        ref_bop = np.asarray(ev.normalized_vsd_error(
+            scene, CAM, depth, jnp.asarray(es_ts[i]), jnp.asarray(es_qs[i]),
+            t, q, d))
+        np.testing.assert_allclose(vsdbop_b[i], ref_bop, atol=1e-6)
+
+
 def test_match_errors_greedy():
     # 2 estimates, 3 gts; best-scored estimate picks its best gt first
     scores = [0.9, 0.5]
@@ -161,6 +187,108 @@ def test_match_scene_errors_swapped_estimates():
     assert unmatched_recall == 0.0
     assert matched_recall == 1.0
     np.testing.assert_allclose(np.sort(matched["adds"]), [0.02, 0.03])
+
+
+def test_match_scene_errors_gt_denominator():
+    """With explicit gt annotations, a gt with NO estimate row counts as a
+    failure (inf) instead of vanishing from the denominator — the
+    reference's outerjoin(gt_df, est_df) semantics (Evaluation.jl:185-199).
+    Also: an estimate group with no annotated gt is ignored entirely."""
+
+    def est(img_id, gt_id, score):
+        return dict(scene_id=1, img_id=img_id, obj_id=1, gt_id=gt_id,
+                    t=[0, 0, 1], q=[1, 0, 0, 0], score=score,
+                    gt_t=None, gt_R=None, visib_fract=1.0)
+
+    def gt(img_id, gt_id, visib=1.0):
+        return dict(scene_id=1, img_id=img_id, obj_id=1, gt_id=gt_id,
+                    gt_t=[0, 0, 1], gt_R=np.eye(3), visib_fract=visib)
+
+    # image 0: 2 annotated gts, only 1 estimate; image 1: 1 gt, 0 estimates;
+    # image 2: estimate with no annotated gt (spurious — must be ignored)
+    ests = [est(0, 0, 5.0), est(2, 0, 9.9)]
+    gts = [gt(0, 0), gt(0, 1), gt(1, 0)]
+
+    def errors_fn(e_rows, gt_rows):
+        mat = np.full((len(e_rows), len(gt_rows)), 0.02)
+        mat[:, 1:] = 0.9  # the single estimate is only close to gt 0
+        n_tau = len(ev.BOP19_THRESHOLDS)
+        return {"adds": mat, "vsd": mat,
+                "vsdbop": np.repeat(mat[:, :, None], n_tau, axis=2)}
+
+    matched = ev.match_scene_errors(ests, errors_fn, gt_rows=gts)
+    # 3 annotated gts total: one matched (0.02), one unmatched in img 0
+    # (inf), one estimate-less in img 1 (inf)
+    assert matched["adds"].shape == (3,)
+    assert np.sum(np.isinf(matched["adds"])) == 2
+    assert np.min(matched["adds"]) == pytest.approx(0.02)
+    assert matched["vsdbop"].shape == (3, len(ev.BOP19_THRESHOLDS))
+    # legacy path (no gt_rows): the missing estimates inflate recall
+    legacy = ev.match_scene_errors(ests, errors_fn)
+    assert legacy["adds"].shape == (2,)
+
+
+def test_adds_chunked_and_subsampled_large_cloud(key):
+    """ADD-S at 10^5 vertices: the chunked exact path matches the dense
+    formula, and the default subsample stays within a few % of exact."""
+    pts = jax.random.normal(key, (100_000, 3)) * 0.05
+    t = jnp.array([0.0, 0.0, 1.0])
+    q = quat.quat_identity()
+    t2 = t + jnp.array([0.012, 0.0, 0.0])
+    q2 = quat.qexp(jnp.array([0.0, 0.1, 0.0]))
+    # exact chunked on a smaller slice vs dense reference
+    small = pts[:3000]
+    exact_chunked = float(ev.adds_error(small, t2, q2, t, q,
+                                        max_points=None, chunk=1024))
+    dense = float(ev.adds_error(small, t2, q2, t, q, max_points=None,
+                                chunk=4096))
+    assert exact_chunked == pytest.approx(dense, rel=1e-5)
+    # full cloud: subsampled (default) vs exact-chunked. Subsampling thins
+    # the nearest-neighbor target set, so it biases the error UP by at most
+    # the subsampled point spacing — never down (no false positives).
+    sub = float(ev.adds_error(pts, t2, q2, t, q))
+    exact = float(ev.adds_error(pts, t2, q2, t, q, max_points=None,
+                                chunk=2048))
+    assert exact <= sub <= exact + 0.01
+    assert 0.0 < sub < 0.05
+
+
+def test_vsd_crop_vs_downscale_verdict():
+    """Object-centered 100x100 crops vs full-image downscale: a borderline
+    pose error that the coarse downscaled eval waves through FAILS under the
+    crop eval (VERDICT round-2 weak #1; parity Evaluation.jl:152-159)."""
+    from bayesianposeestimation.jl_tpu.camera import crop_camera, crop_image
+    from bayesianposeestimation.jl_tpu.ops.rasterize import render_depth
+
+    mesh = icosphere_mesh(0.0125, 3)  # 2.5 cm object
+    scene = {"verts": jnp.asarray(mesh.vertices),
+             "faces": jnp.asarray(mesh.faces)}
+    d = mesh_diameter(mesh)
+    # VGA full camera, object at 1.2 m -> ~12 px wide at VGA, ~2 px when the
+    # whole image is downscaled to 100x100
+    full_cam = CvCamera(width=640, height=480, f_x=575.0, f_y=575.0,
+                        c_x=319.5, c_y=239.5, near=0.01, far=10.0)
+    t = jnp.array([0.0, 0.0, 1.2])
+    q = quat.quat_identity()
+    full_depth = render_depth(scene["verts"], scene["faces"], full_cam, t, q)
+    # bad estimate: shifted sideways by ~1/6 of the diameter
+    t_bad = t + jnp.array([0.004, 0.0, 0.0])
+
+    down_cam = full_cam.scale_to(100, 100)
+    down_depth = jnp.asarray(
+        np.asarray(full_depth)[np.arange(100) * 480 // 100][:,
+                               np.arange(100) * 640 // 100])
+    err_down = float(ev.vsd_error(scene, down_cam, down_depth,
+                                  t_bad, q, t, q, tau=0.02))
+    crop_cam = crop_camera(full_cam, np.asarray(t), d, width=100, height=100)
+    crop_depth = jnp.asarray(crop_image(np.asarray(full_depth), full_cam,
+                                        crop_cam))
+    err_crop = float(ev.vsd_error(scene, crop_cam, crop_depth,
+                                  t_bad, q, t, q, tau=0.02))
+    # the crop eval sees the misalignment; the ~2-px downscale reports a
+    # PERFECT pose — the round-2 saturation mechanism
+    assert err_crop > ev.BOP18_THETA, err_crop
+    assert err_down < 0.1, err_down
 
 
 def test_match_scene_errors_visib_filter():

@@ -72,6 +72,76 @@ def test_bag_roundtrip(tmp_path):
     np.testing.assert_allclose(got, depth[0], atol=1e-3)
 
 
+def _record(header_fields: dict, data: bytes) -> bytes:
+    """Spec-conformant bag record, built independently of utils.rosbag."""
+    import struct
+
+    h = b""
+    for name, value in header_fields.items():
+        item = name.encode() + b"=" + value
+        h += struct.pack("<I", len(item)) + item
+    return struct.pack("<I", len(h)) + h + struct.pack("<I", len(data)) + data
+
+
+def test_spec_conformant_time_field(tmp_path):
+    """Bag 2.0 'time' header = secs(u32)+nsecs(u32) — fixed bytes, no writer.
+
+    Guards against reading the field as a u64 nanosecond count (which would
+    decode secs=7, nsecs=123 as 7 + 123<<32 ns). Spec:
+    http://wiki.ros.org/Bags/Format/2.0.
+    """
+    import struct
+
+    pose = (struct.pack("<III", 0, 7, 123) + struct.pack("<I", 0)  # ros header
+            + struct.pack("<7d", 1.0, 2.0, 3.0, 0.0, 0.0, 0.0, 1.0))
+    inner = b""
+    for name, value in {"topic": b"/p",
+                        "type": b"geometry_msgs/PoseStamped"}.items():
+        item = name.encode() + b"=" + value
+        inner += struct.pack("<I", len(item)) + item
+    conn = _record({"op": b"\x07", "conn": struct.pack("<I", 0),
+                    "topic": b"/p"}, inner)
+    msg = _record({"op": b"\x02", "conn": struct.pack("<I", 0),
+                   "time": struct.pack("<II", 7, 123)}, pose)
+    bag = (b"#ROSBAG V2.0\n"
+           + _record({"op": b"\x03", "index_pos": struct.pack("<Q", 0),
+                      "conn_count": struct.pack("<I", 1),
+                      "chunk_count": struct.pack("<I", 1)}, b" " * 4096)
+           + _record({"op": b"\x05", "compression": b"none",
+                      "size": struct.pack("<I", len(conn + msg))}, conn + msg))
+    path = tmp_path / "spec.bag"
+    path.write_bytes(bag)
+    [(topic, msgtype, stamp_ns, m)] = list(read_bag(path))
+    assert topic == "/p" and msgtype == "geometry_msgs/PoseStamped"
+    assert stamp_ns == 7 * 10**9 + 123
+    assert m["position"] == dict(x=1.0, y=2.0, z=3.0)
+
+
+def test_writer_time_field_is_spec_conformant(tmp_path):
+    """Bytes written for 'time' must decode as secs(u32)+nsecs(u32)."""
+    import struct
+
+    path = tmp_path / "w.bag"
+    stamp_ns = 5 * 10**9 + 42
+    write_bag(path, [("/gt", "geometry_msgs/PoseStamped", stamp_ns,
+                      dict(position=dict(x=0.0, y=0.0, z=0.0),
+                           orientation=dict(x=0.0, y=0.0, z=0.0, w=1.0)))])
+    raw = path.read_bytes()
+    want = b"time=" + struct.pack("<II", 5, 42)
+    assert want in raw, "writer must pack time as secs+nsecs u32 pair"
+
+
+def test_unknown_chunk_compression_raises(tmp_path):
+    import struct
+
+    chunk = _record({"op": b"\x05", "compression": b"lz4",
+                     "size": struct.pack("<I", 0)}, b"garbage")
+    path = tmp_path / "lz4.bag"
+    path.write_bytes(b"#ROSBAG V2.0\n" + chunk)
+    with pytest.raises(ValueError, match="lz4"):
+        list(read_bag(path))
+
+
 @pytest.mark.parametrize("encoding", ["16UC1", "32FC1"])
 def test_convert_rosbag_to_stream(tmp_path, encoding):
     bag = tmp_path / "t.bag"
