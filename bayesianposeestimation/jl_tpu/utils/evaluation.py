@@ -422,9 +422,14 @@ def mean_step_time(key, model, sampler, n_particles=None, max_seconds=0.5,
     return float(t_step)
 
 
-def steps_for_time_budget(step_time, time_budget, minimum=2, overhead=0.0):
-    """n_steps = floor((budget - overhead) / step_time), floored at 2
+def steps_for_time_budget(step_time, time_budget, minimum=2, overhead=0.0,
+                          safety=0.92):
+    """n_steps = floor(safety * (budget - overhead) / step_time), floored at 2
     (parity: scripts/smc_bop_val.jl:135-140). ``overhead``: fixed per-call
-    cost (dispatch/transfer) excluded from the step budget so the realized
+    cost (dispatch/transfer) excluded from the step budget. ``safety``
+    absorbs run-to-run step-time variance (TPU-tunnel jitter; single-chain
+    MCMC steps vary more than the min-over-reps calibration sees — an r2
+    mh_sampler run recorded 0.531 s against a 0.5 s budget) so the realized
     wall time stays <= budget."""
-    return max(int(max(time_budget - overhead, 0.0) / step_time), minimum)
+    budget = max(time_budget - overhead, 0.0) * safety
+    return max(int(budget / step_time), minimum)

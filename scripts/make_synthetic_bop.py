@@ -42,7 +42,7 @@ def build_objects(profile):
     from bayesianposeestimation.jl_tpu.utils import mesh_io
     import numpy as np
 
-    if profile == "easy":
+    if profile in ("easy", "hard"):
         return {
             1: mesh_io.monkey_mesh(0.08),
             2: mesh_io.cube_mesh(0.08),
@@ -186,10 +186,14 @@ def apply_sensor_artifacts(depth, rng):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="data/bop")
-    ap.add_argument("--profile", choices=["easy", "cad"], default="easy")
+    ap.add_argument("--profile", choices=["easy", "cad", "hard"], default="easy",
+                    help="hard: the pinned failure mode — sphere-behind-"
+                         "sphere at visib~0.45, where the rear instance's "
+                         "posterior genuinely prefers the occluder's mode "
+                         "(r2 VERDICT missing #3)")
     ap.add_argument("--dataset", default=None,
-                    help="default: synth (easy) / synthcad (cad)")
-    ap.add_argument("--split", default="val")
+                    help="default: synth (easy/hard) / synthcad (cad)")
+    ap.add_argument("--split", default=None)
     ap.add_argument("--n-scenes", type=int, default=None)
     ap.add_argument("--n-images", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
@@ -197,12 +201,15 @@ def main():
                     default=True,
                     help="two partially-occluding instances on even images")
     args = ap.parse_args()
+    hard = args.profile == "hard"
     if args.dataset is None:
-        args.dataset = "synth" if args.profile == "easy" else "synthcad"
+        args.dataset = "synthcad" if args.profile == "cad" else "synth"
+    if args.split is None:
+        args.split = "hard" if hard else "val"
     if args.n_scenes is None:
-        args.n_scenes = 1 if args.profile == "easy" else 4
+        args.n_scenes = {"easy": 1, "cad": 4, "hard": 1}[args.profile]
     if args.n_images is None:
-        args.n_images = 8 if args.profile == "easy" else 12
+        args.n_images = {"easy": 8, "cad": 12, "hard": 6}[args.profile]
 
     import imageio.v3 as iio
     import jax
@@ -257,10 +264,13 @@ def main():
         (sdir / "mask_visib").mkdir(exist_ok=True)
         cams, gts, infos = {}, {}, {}
         for img_id in range(args.n_images):
-            obj_id = 1 + (img_id % len(objects))
+            if hard:
+                obj_id = 3  # the icosphere: both modes are rotationally alike
+            else:
+                obj_id = 1 + (img_id % len(objects))
             mesh = objects[obj_id]
             diam = float(models_info[str(obj_id)]["diameter"]) / 1000.0
-            n_inst = 2 if (args.multi_instance and img_id % 2 == 0) else 1
+            n_inst = 2 if (hard or (args.multi_instance and img_id % 2 == 0)) else 1
             inst_t, inst_q = [], []
             base_t = np.asarray([rng.uniform(-0.05, 0.05), rng.uniform(-0.04, 0.04),
                                  rng.uniform(0.8, 1.2)])
@@ -269,6 +279,8 @@ def main():
                 inst_q.append(np.asarray(quat.rand_quaternion(kq)))
                 if i == 0:
                     inst_t.append(base_t)
+                elif hard:
+                    inst_t.append(None)  # placed by the visibility search below
                 else:
                     # behind + laterally shifted by ~40% of the object extent
                     # -> partial occlusion of the rear instance
@@ -277,11 +289,31 @@ def main():
                                       rng.uniform(0.3, 0.6) * diam])
                     inst_t.append(base_t + off)
 
-            # per-instance solo renders at native pixel density
-            solos = []
-            for t, q in zip(inst_t, inst_q):
+            def solo(t, q):
                 x0, y0 = window_origin(cam, t)
-                solos.append(render_solo(dev_meshes[obj_id], cam, t, q, x0, y0))
+                return render_solo(dev_meshes[obj_id], cam, t, q, x0, y0)
+
+            if hard:
+                # deterministic search: lateral offset of the rear sphere so
+                # its visibility lands nearest the pinned ~0.45 (the regime
+                # where the occluder's mode out-scores the true one)
+                front = solo(inst_t[0], inst_q[0])
+                side = rng.choice([-1, 1])
+                behind = 0.45 * diam
+                best = None
+                for lat in (0.30, 0.34, 0.38, 0.42, 0.46):
+                    t_rear = base_t + np.asarray([side * lat * diam, 0.0, behind])
+                    rear = solo(t_rear, inst_q[1])
+                    rendered = np.isfinite(rear)
+                    vis = rendered & (rear <= np.minimum(front, rear) + 1e-3)
+                    visib = vis.sum() / max(rendered.sum(), 1)
+                    if best is None or abs(visib - 0.45) < abs(best[0] - 0.45):
+                        best = (visib, t_rear, rear)
+                inst_t[1] = best[1]
+                solos = [front, best[2]]
+            else:
+                # per-instance solo renders at native pixel density
+                solos = [solo(t, q) for t, q in zip(inst_t, inst_q)]
 
             # unannotated clutter IN FRONT of the target cluster, clipping
             # its silhouette (cad profile only)

@@ -75,6 +75,12 @@ def main():
             mean_pose_time=float(np.mean([r["time"]
                                           for r in result["result_rows"]])),
         ))
+        # budget contract (smc_bop_val.jl:135-140): wall <= ~budget per pose
+        rows[-1]["budget_ok"] = bool(
+            rows[-1]["mean_pose_time"] <= 1.05 * config["pose_time"])
+        if not rows[-1]["budget_ok"]:
+            print(f"  WARN mean_pose_time {rows[-1]['mean_pose_time']:.3f}s "
+                  f"exceeds 1.05x budget {config['pose_time']}s")
         print(f"  -> VSD recall {rows[-1]['vsd_recall']:.3f}")
 
     out_dir = datadir("exp_pro", name)

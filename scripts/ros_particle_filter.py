@@ -55,6 +55,11 @@ def main():
     ap.add_argument("--height", type=int, default=60)
     ap.add_argument("--n-frames", type=int, default=120)
     ap.add_argument("--mesh", default="monkey")
+    ap.add_argument("--out-json", default=None,
+                    help="write the fps/error record as a JSON artifact")
+    ap.add_argument("--export-tum", default=None,
+                    help="write the tracked trajectory (and gt, if any) as "
+                         "TUM files: <path>.tum / <path>_gt.tum")
     args = ap.parse_args()
 
     import jax
@@ -133,23 +138,52 @@ def main():
 
     import json
 
+    # weighted-mean pose estimate per frame: translation = weighted mean,
+    # rotation = chordal mean (principal eigenvector of sum_w q q^T — the
+    # standard quaternion average, sign-invariant)
+    w = np.exp(np.asarray(outs["log_weights"]))  # [F, N]
+    est_t = np.einsum("fn,fnd->fd", w, np.asarray(outs["t"]))
+    qs = np.asarray(outs["r"])  # [F, N, 4]
+    M = np.einsum("fn,fni,fnj->fij", w, qs, qs)  # [F, 4, 4]
+    eigvals, eigvecs = np.linalg.eigh(M)
+    est_q = eigvecs[:, :, -1]
+    est_q *= np.where(est_q[:, :1] < 0, -1.0, 1.0)
+
+    stamps = stream.get("stamps")
+    if stamps is None:
+        stamps = np.arange(depth.shape[0]) / 90.0  # synthetic: 90 Hz frames
+    if args.export_tum:
+        from bayesianposeestimation.jl_tpu.utils.experiment_io import save_tum
+
+        base = Path(args.export_tum)
+        save_tum(str(base) + ".tum", stamps[1:], est_t, est_q)
+        if "gt_t" in stream:
+            save_tum(str(base) + "_gt.tum", stamps, stream["gt_t"],
+                     stream["gt_q"])
+        print(f"wrote {base}.tum" + (" + gt" if "gt_t" in stream else ""))
+
     median_err_mm = None
     ok = True
     if "gt_t" in stream:
-        w = np.exp(np.asarray(outs["log_weights"]))
-        est_t = np.einsum("fn,fnd->fd", w, np.asarray(outs["t"]))
         err = np.linalg.norm(est_t - stream["gt_t"][1:], axis=1)
         median_err_mm = float(np.median(err) * 1000)
         print(f"mean translation error: {err.mean()*1000:.1f} mm "
               f"(median {median_err_mm:.1f} mm)")
-        ok = np.median(err) < 0.05
-    print(json.dumps({
+        # pass gate at the demonstrated envelope (~5.5 mm typical on the
+        # synthetic stream; r2 VERDICT weak #7: 50 mm would miss a 5x
+        # regression)
+        ok = np.median(err) < 0.015
+    record = {
         "metric": f"{args.filter}-pf fps ({n_particles} particles, "
                   f"{args.width}x{args.height})",
         "value": round(fps, 1), "unit": "fps",
         "vs_baseline": round(fps / 90.0, 3),
         "median_error_mm": median_err_mm,
-    }))
+    }
+    print(json.dumps(record))
+    if args.out_json:
+        Path(args.out_json).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.out_json).write_text(json.dumps(record))
     print("RESULT:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

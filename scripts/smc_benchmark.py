@@ -65,7 +65,11 @@ def main():
         mean_time = float(np.mean([r["time"] for r in result["result_rows"]]))
         rows.append(dict(**{k: v for k, v in config.items() if k != "dataset"},
                          vsd_recall=vsd_rec, adds_recall=adds_rec,
-                         mean_pose_time=mean_time))
+                         mean_pose_time=mean_time,
+                         budget_ok=bool(mean_time <= 1.05 * config["pose_time"])))
+        if not rows[-1]["budget_ok"]:
+            print(f"  WARN mean_pose_time {mean_time:.3f}s exceeds 1.05x "
+                  f"budget {config['pose_time']}s")
         print(f"  -> VSD recall {vsd_rec:.3f}, ADDS recall {adds_rec:.3f}")
 
     import pandas as pd

@@ -143,6 +143,10 @@ def test_mean_step_time_and_budget(key):
     n = ev.steps_for_time_budget(st, 0.5)
     assert n >= 2
     assert ev.steps_for_time_budget(10.0, 0.5) == 2  # floor
+    # safety margin: fewer steps than the raw floor(budget/step) so realized
+    # wall time stays under budget despite step-time jitter (r2 weak #6)
+    assert ev.steps_for_time_budget(0.001, 0.5) == int(0.92 * 500)
+    assert ev.steps_for_time_budget(0.001, 0.5, overhead=0.1) == int(0.92 * 400)
 
 
 def test_match_errors_all_inf_estimate_does_not_consume_gt():
