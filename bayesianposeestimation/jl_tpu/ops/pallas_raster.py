@@ -277,8 +277,35 @@ def _bf16_split(x):
     return hi_f32.astype(jnp.bfloat16), (x - hi_f32).astype(jnp.bfloat16)
 
 
+# Triangle compaction (dense path): for a closed backface-culled mesh only
+# ~half the triangles survive culling per pose, but the dense raster pays the
+# VPU-bound inside-test/z-max epilogue for ALL of them — the measured
+# bottleneck at the flagship config (~4.5 of 5.7 us/pose). Compaction packs
+# the live triangles to the front so only ceil(live / cap) regions of cap
+# triangles run:
+#   1. validity per triangle is recovered from the zeroed forms (culled
+#      triangles have all-zero edge coefficients);
+#   2. a lane-axis Hillis-Steele prefix sum assigns each live triangle its
+#      compacted slot; dead triangles get slot -1 (matched by no region);
+#   3. per (pose, region) a one-hot matrix S[s, j] = (slot[j] == s) permutes
+#      the 18 hi/lo coefficient rows through ONE bf16 MXU contraction —
+#      exact, because each output row has a single 0/1-weighted term and
+#      accumulation is f32. The MXU is idle during the epilogue anyway, so
+#      the permutation is nearly free in wall time;
+#   4. regions whose slot range lies beyond the live count are skipped via
+#      @pl.when — for typical poses the second of two regions never runs,
+#      halving the raster dot and epilogue.
+# The per-(triangle, pixel) math is identical to the uncompacted path (a
+# permutation of independent rows under an order-invariant max); results
+# agree to reduction-order float noise (the raster dot's K=6 accumulation
+# can associate differently for the different M extent).
+def _compact_cap(f_pad):
+    return _round_up((f_pad + 1) // 2, LANE)
+
+
 def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
-                 backface_cull, score_fn=None, with_mu=False, band_cull=True):
+                 backface_cull, score_fn=None, with_mu=False, band_cull=True,
+                 compact=False):
     """Kernel body. Refs: cam (SMEM [1,8]), pose (VMEM [1, POSE_BLOCK, 8]),
     tri (VMEM [9,f_pad]) [, z (VMEM [1,p_pad]), prior (VMEM [1,p_pad])],
     outputs, then scratch: 9 coefficient planes (VMEM [POSE_BLOCK, f_pad],
@@ -425,6 +452,87 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
                 chunk_live_ref[p * n_chunks + c] = jnp.max(
                     validf[p:p + 1, cs]).astype(jnp.int32)
 
+    cap = _compact_cap(f_pad)
+    n_regions = -(-f_pad // cap)
+
+    def raster_compact(cam_ref, pose_ref, tri_ref, form_refs, band_live_ref,
+                       chunk_live_ref, live_ref, maxd_ref):
+        build_forms(cam_ref, pose_ref, tri_ref, form_refs, band_live_ref,
+                    chunk_live_ref)
+        grid = grid_rows()
+        maxd_ref[:] = jnp.zeros((PB, p_pad), jnp.float32)
+
+        # validity from the zeroed forms: a culled triangle has factor 0 ->
+        # all edge coefficients zero; a live one has a nonzero edge-0 normal
+        validf = ((jnp.abs(form_refs[0][:]) + jnp.abs(form_refs[1][:])
+                   + jnp.abs(form_refs[2][:])) > 0).astype(jnp.float32)
+        # lane-axis prefix sum (Hillis-Steele with static shifted concats:
+        # portable to interpret mode, no circular-roll masking)
+        run = validf
+        d = 1
+        while d < f_pad:
+            shifted = jnp.concatenate(
+                [jnp.zeros((PB, d), jnp.float32), run[:, : f_pad - d]], axis=1)
+            run = run + shifted
+            d *= 2
+        slot = jnp.where(validf > 0, run - 1.0, -1.0)  # [PB, f_pad]
+        for p in range(PB):
+            live_ref[p] = jnp.max(run[p:p + 1, f_pad - 1:f_pad]).astype(jnp.int32)
+
+        s_base = jax.lax.broadcasted_iota(jnp.int32, (cap, f_pad), 0).astype(
+            jnp.float32)  # [cap, f_pad]: slot index per output row
+
+        for p in range(PB):
+            # per form group: [6, f_pad] bf16 rows (hi a,b,c over lo a,b,c) —
+            # kept as THREE separate values so every dot result sits at
+            # sublane offset 0 (Mosaic cannot lane-concat slices taken at
+            # different sublane offsets of one larger vreg)
+            bigs = []
+            for g in range(N_FORMS):
+                rows = jnp.concatenate(
+                    [form_refs[3 * g + k][p:p + 1, :] for k in range(3)], axis=0)
+                hi, lo = _bf16_split(rows)
+                bigs.append(jnp.concatenate([hi, lo], axis=0))  # [6, f_pad]
+            slot_row = slot[p:p + 1, :]  # [1, f_pad]
+
+            for r in range(n_regions):
+
+                @pl.when(live_ref[p] > r * cap)
+                def _(r=r):
+                    sel = (s_base + (r * cap) == slot_row).astype(jnp.bfloat16)
+                    comps = [
+                        jax.lax.dot_general(
+                            big_g, sel, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32
+                        ).astype(jnp.bfloat16)  # [6, cap]
+                        for big_g in bigs]
+                    # [6, 3*cap]: hi rows 0-2 / lo rows 3-5, groups along lanes
+                    lhs = jnp.concatenate(comps, axis=1)
+
+                    def epilogue(out, bs, be, p=p):
+                        w0 = out[0 * cap:1 * cap]
+                        w1 = out[1 * cap:2 * cap]
+                        dd = out[2 * cap:3 * cap]
+                        inside = (jnp.minimum(w0, w1) >= -1e-5) & (
+                            w0 + w1 <= 1 + 1e-5)
+                        cand = jnp.where(inside, dd, 0.0)
+                        maxd_ref[p:p + 1, bs:be] = jnp.maximum(
+                            maxd_ref[p:p + 1, bs:be],
+                            jnp.max(cand, axis=0, keepdims=True))
+
+                    pend = None
+                    for bs, be in dense_phases:
+                        out = jax.lax.dot_general(
+                            lhs, grid[:, bs:be], (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        if pend is not None:
+                            epilogue(*pend)
+                        pend = (out, bs, be)
+                    epilogue(*pend)
+
+        maxd = maxd_ref[:]
+        return jnp.where(maxd > 0, 1.0 / jnp.where(maxd > 0, maxd, 1.0), 0.0)
+
     def raster(cam_ref, pose_ref, tri_ref, form_refs, band_live_ref,
                chunk_live_ref, maxd_ref):
         build_forms(cam_ref, pose_ref, tri_ref, form_refs, band_live_ref,
@@ -494,15 +602,23 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
 
     n_form_scratch = 3 * N_FORMS
 
+    def run_raster(cam_ref, pose_ref, tri_ref, scratch):
+        form_refs = scratch[:n_form_scratch]
+        band_live_ref = scratch[n_form_scratch]
+        chunk_live_ref = scratch[n_form_scratch + 1]
+        maxd_ref = scratch[n_form_scratch + 2]
+        if compact:
+            live_ref = scratch[n_form_scratch + 3]
+            return raster_compact(cam_ref, pose_ref, tri_ref, form_refs,
+                                  band_live_ref, chunk_live_ref, live_ref,
+                                  maxd_ref)
+        return raster(cam_ref, pose_ref, tri_ref, form_refs, band_live_ref,
+                      chunk_live_ref, maxd_ref)
+
     if score_fn is None:
 
         def render_kernel(cam_ref, pose_ref, tri_ref, mu_ref, *scratch):
-            form_refs = scratch[:n_form_scratch]
-            band_live_ref = scratch[n_form_scratch]
-            chunk_live_ref = scratch[n_form_scratch + 1]
-            maxd_ref = scratch[n_form_scratch + 2]
-            mu_ref[0] = raster(cam_ref, pose_ref, tri_ref, form_refs,
-                               band_live_ref, chunk_live_ref, maxd_ref)
+            mu_ref[0] = run_raster(cam_ref, pose_ref, tri_ref, scratch)
 
         return render_kernel
 
@@ -513,12 +629,7 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
             scratch = rest[1:]
         else:
             scratch = rest
-        form_refs = scratch[:n_form_scratch]
-        band_live_ref = scratch[n_form_scratch]
-        chunk_live_ref = scratch[n_form_scratch + 1]
-        maxd_ref = scratch[n_form_scratch + 2]
-        mu = raster(cam_ref, pose_ref, tri_ref, form_refs, band_live_ref,
-                    chunk_live_ref, maxd_ref)  # [PB, p_pad]
+        mu = run_raster(cam_ref, pose_ref, tri_ref, scratch)  # [PB, p_pad]
         z = z_ref[:]
         prior_o = prior_ref[:]
         ell_px, o = score_fn(mu, z, prior_o)  # broadcast [PB, p_pad]
@@ -534,22 +645,36 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
     return score_kernel
 
 
-def _scratch_shapes(f_pad, n_chunks, p_pad, band_cull=True):
+def _scratch_shapes(f_pad, n_chunks, p_pad, band_cull=True, compact=False):
     n_bands = len(_band_slices(p_pad, n_chunks)) if band_cull else 1
-    return (
+    shapes = (
         [pltpu.VMEM((POSE_BLOCK, f_pad), jnp.float32)
          for _ in range(3 * N_FORMS)]
         + [pltpu.SMEM((POSE_BLOCK * n_chunks * n_bands,), jnp.int32),
            pltpu.SMEM((POSE_BLOCK * n_chunks,), jnp.int32),
            pltpu.VMEM((POSE_BLOCK, p_pad), jnp.float32)]
     )
+    if compact:
+        shapes.append(pltpu.SMEM((POSE_BLOCK,), jnp.int32))
+    return shapes
+
+
+def _resolve_compact(compact, band_cull, f_pad):
+    """Auto policy: compaction pays when the epilogue dominates and half the
+    triangles are dead — on by default for dense (non-banded) renders of
+    mid-size meshes. Below ~512 faces a single region would always run
+    (pure overhead); above ~2048 the one-hot matrix outgrows its VMEM/MXU
+    sweet spot (S is [cap, f_pad] bf16)."""
+    if compact is None:
+        return (not band_cull) and 512 <= f_pad <= 2048
+    return bool(compact) and not band_cull
 
 
 @partial(jax.jit, static_argnames=("height", "width", "chunk", "backface_cull",
-                                   "band_cull"))
+                                   "band_cull", "compact"))
 def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
                         height=None, width=None, chunk=None, backface_cull=True,
-                        band_cull=False):
+                        band_cull=False, compact=None):
     """Drop-in Pallas replacement for rasterize.render_depth_batch:
     [N] poses -> [N, H, W] z-depth maps (0 = background).
 
@@ -569,10 +694,11 @@ def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
     f_pad = _round_up(faces.shape[0], chunk)
     n_chunks = f_pad // chunk
 
+    compact = _resolve_compact(compact, band_cull, f_pad)
     tri_rows = expand_triangle_rows(verts, faces, f_pad)
     kernel = _make_kernel(width, height, p_pad, f_pad, chunk,
                           float(cam.near), float(cam.far), n_pix, backface_cull,
-                          band_cull=band_cull)
+                          band_cull=band_cull, compact=compact)
 
     pose_rows = _pose_rows(t, q)
     n_prog = pose_rows.shape[0]
@@ -586,7 +712,8 @@ def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
         ],
         out_specs=pl.BlockSpec((1, POSE_BLOCK, p_pad), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_prog, POSE_BLOCK, p_pad), jnp.float32),
-        scratch_shapes=_scratch_shapes(f_pad, n_chunks, p_pad, band_cull),
+        scratch_shapes=_scratch_shapes(f_pad, n_chunks, p_pad, band_cull,
+                                       compact),
         interpret=_interpret_mode(),
     )(_camera_row(cam, width, height), pose_rows, tri_rows)
     return mu.reshape(-1, p_pad)[:n, :n_pix].reshape(n, height, width)
@@ -598,10 +725,12 @@ def _flatten_pad_image(img, p_pad):
 
 
 @partial(jax.jit, static_argnames=("height", "width", "chunk", "score_fn",
-                                   "return_mu", "backface_cull", "band_cull"))
+                                   "return_mu", "backface_cull", "band_cull",
+                                   "compact"))
 def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
                         score_fn, height=None, width=None, chunk=None,
-                        return_mu=False, backface_cull=True, band_cull=False):
+                        return_mu=False, backface_cull=True, band_cull=False,
+                        compact=None):
     """Fully-fused transform + render + associate + score.
 
     ``score_fn(mu, z, prior_o) -> (ell_px, o)``: elementwise per-pixel log
@@ -621,6 +750,7 @@ def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
     f_pad = _round_up(faces.shape[0], chunk)
     n_chunks = f_pad // chunk
 
+    compact = _resolve_compact(compact, band_cull, f_pad)
     tri_rows = expand_triangle_rows(verts, faces, f_pad)
     z_row = _flatten_pad_image(z_img.astype(jnp.float32), p_pad)
     prior_row = _flatten_pad_image(
@@ -629,7 +759,7 @@ def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
     kernel = _make_kernel(width, height, p_pad, f_pad, chunk,
                           float(cam.near), float(cam.far), n_pix, backface_cull,
                           score_fn=score_fn, with_mu=return_mu,
-                          band_cull=band_cull)
+                          band_cull=band_cull, compact=compact)
 
     pose_rows = _pose_rows(t, q)
     n_prog = pose_rows.shape[0]
@@ -659,7 +789,8 @@ def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
         ],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=_scratch_shapes(f_pad, n_chunks, p_pad, band_cull),
+        scratch_shapes=_scratch_shapes(f_pad, n_chunks, p_pad, band_cull,
+                                       compact),
         interpret=_interpret_mode(),
     )(_camera_row(cam, width, height), pose_rows, tri_rows, z_row, prior_row)
 

@@ -140,6 +140,26 @@ def main():
         tt = slope_time(fused(verts, faces, cam2, z2), t, q)
         print(f"  {side:3d}x{side:<3d}: {tt/n*1e6:7.2f} us/pose")
 
+    print(f"\ntriangle compaction (fused, n={n}, 30x30):")
+    for sub, label in ((3, "1280"), (4, "5120")):
+        m = mesh_io.icosphere_mesh(0.06, sub)
+        v2, f2 = jnp.asarray(m.vertices), jnp.asarray(m.faces)
+
+        def fused_c(compact):
+            def fn(t, q):
+                return pallas_render_score(v2, f2, cam, t, q, z_img, 0.7,
+                                           score_fn, compact=compact)
+            return fn
+
+        td = slope_time(fused_c(False), t, q)
+        try:
+            tc = slope_time(fused_c(True), t, q)
+            print(f"  {label:>5s} faces: dense {td/n*1e6:6.2f} us/pose, "
+                  f"compact {tc/n*1e6:6.2f} us/pose ({td/tc:.2f}x)")
+        except Exception as e:  # VMEM overflow at large f_pad (S is [cap, f_pad])
+            print(f"  {label:>5s} faces: dense {td/n*1e6:6.2f} us/pose, "
+                  f"compact FAILED ({type(e).__name__})")
+
 
 if __name__ == "__main__":
     main()

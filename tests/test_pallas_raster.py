@@ -147,6 +147,51 @@ def test_band_cull_matches_dense(key):
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def _assert_renders_match(a, b):
+    """Compaction is a pure permutation of per-triangle work under an
+    order-invariant max, so per-(triangle, pixel) math is identical — but the
+    raster dot has a different M extent (cap vs 3*chunk), and XLA CPU emits
+    a different K=6 reduction order for different shapes, so interpret-mode
+    results can differ by ~1 ulp (and an edge pixel could in principle flip).
+    Assert near-bitwise: <0.1% differing pixels, all within float noise."""
+    a, b = np.asarray(a), np.asarray(b)
+    assert np.mean((a > 0) != (b > 0)) < 1e-3
+    both = (a > 0) & (b > 0)
+    np.testing.assert_allclose(a[both], b[both], rtol=1e-5)
+
+
+def test_compact_matches_dense(key):
+    """Triangle compaction (one-hot MXU permutation + region skipping) must
+    reproduce the dense path for multi-region meshes, single-region tiny
+    meshes, behind-camera pose padding, and the fused score path."""
+    from bayesianposeestimation.jl_tpu.models.fused import make_score_fn
+
+    mesh = icosphere_mesh(0.06, 3)  # 1280 faces -> cap 640, 2 regions
+    verts, faces = jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces)
+    t, q = _poses(key, 9)  # 9 poses: one padded POSE_BLOCK row
+    a = pallas_render_depth(verts, faces, CAM, t, q, compact=False)
+    b = pallas_render_depth(verts, faces, CAM, t, q, compact=True)
+    _assert_renders_match(a, b)
+    assert float((np.asarray(a) > 0).mean()) > 0.005  # non-trivial coverage
+
+    cube = cube_mesh(0.1)  # 12 faces -> single always-run region
+    ca = pallas_render_depth(jnp.asarray(cube.vertices), jnp.asarray(cube.faces),
+                             CAM, t, q, compact=False)
+    cb = pallas_render_depth(jnp.asarray(cube.vertices), jnp.asarray(cube.faces),
+                             CAM, t, q, compact=True)
+    _assert_renders_match(ca, cb)
+
+    params = Parameters(width=16, height=16)
+    z = jnp.where(a[0] > 0, a[0], jnp.inf)
+    fn = make_score_fn(params, "association")
+    ell0, so0 = pallas_render_score(verts, faces, CAM, t, q, z, 0.7, fn,
+                                    compact=False)
+    ell1, so1 = pallas_render_score(verts, faces, CAM, t, q, z, 0.7, fn,
+                                    compact=True)
+    np.testing.assert_allclose(np.asarray(ell0), np.asarray(ell1), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(so0), np.asarray(so1), rtol=1e-4)
+
+
 def test_spatial_sort_is_permutation(key):
     """Bisection reordering must keep the face set identical (only order may
     change) and tighten per-chunk centroid extents (chunks are bisection
