@@ -24,6 +24,8 @@ from ..distributions import Normal, QuaternionUniform
 from ..graph import BroadcastedNode
 from ..models import pixel as P
 from ..ops.pallas_raster import (
+    antipodal_pair_faces,
+    paired_layout_ok,
     pallas_render_score,
     resolve_chunk,
     spatial_sort_faces,
@@ -116,15 +118,30 @@ class FusedPosterior:
         self.backface_cull = backface_cull
         self.score_fn = make_score_fn(params, variant)
         self.simple_reg = variant in _SIMPLE_REG
-        # pre-sort the mesh ONCE, chunk-aligned: compact surface patches per
-        # triangle chunk let the kernel's liveness culling skip dead raster
-        # regions. Doing it here (not per render call) keeps the argsort out
-        # of the sampler's scanned step.
+        # Reorder the mesh ONCE for the kernel. Preferred: antipodal pairing
+        # (half-size raster region + silhouette overflow — see
+        # ops.pallas_raster.antipodal_pair_faces), available when the mesh is
+        # concrete, backface-culled, and small enough to resolve to a single
+        # triangle chunk. Fallback: chunk-aligned spatial sort so the
+        # per-(chunk, band) liveness culling can skip dead raster regions.
+        # Doing it here (not per render call) keeps the work out of the
+        # sampler's scanned step.
         scene = experiment.scene
-        self._sorted_faces = spatial_sort_faces(
-            scene["verts"], scene["faces"],
-            resolve_chunk(scene["faces"].shape[0],
-                          params.width * params.height, params.raster_chunk))
+        n_pix = params.width * params.height
+        concrete = not (isinstance(scene["faces"], jax.core.Tracer)
+                        or isinstance(scene["verts"], jax.core.Tracer))
+        self._paired = bool(
+            backface_cull and concrete
+            and paired_layout_ok(scene["faces"].shape[0], n_pix,
+                                 params.raster_chunk))
+        if self._paired:
+            self._sorted_faces = antipodal_pair_faces(
+                scene["verts"], scene["faces"])
+        else:
+            self._sorted_faces = spatial_sort_faces(
+                scene["verts"], scene["faces"],
+                resolve_chunk(scene["faces"].shape[0], n_pix,
+                              params.raster_chunk))
 
         if prior_graph is None:
             # point prior without the μ node — the render lives inside the
@@ -161,6 +178,7 @@ class FusedPosterior:
             exp.depth_image, jnp.asarray(exp.prior_o, params.float_type),
             self.score_fn, height=params.height, width=params.width,
             chunk=params.raster_chunk, backface_cull=self.backface_cull,
+            paired=self._paired,
         )
         ell_raw = ell_raw.reshape(batch)
         sum_o = sum_o.reshape(batch)

@@ -100,6 +100,24 @@ def _grid_center(width, height):
     return (width - 1) / 2.0, (height - 1) / 2.0
 
 
+# Branch-free inside test: the edge groups are pre-scaled by 2^30 (a power
+# of two — exact, the bf16x2 split mantissas are untouched) with the
+# barycentric tolerance folded into the c coefficients, so the raster dot
+# emits W_i = SCALE*(w_i + TOL). A pixel is inside iff min(w0, w1, w2) >=
+# -TOL, i.e. min(W0, W1, W2) >= 0 — and since every inside pixel has
+# W_i >= SCALE*TOL (~1.1e4) while 1/depth <= 1/near (100 at the default
+# near plane), the covered-depth candidate collapses to pure arithmetic:
+#     cand = min(W0, W1, SCALE*(1+3*TOL) - (W0+W1), d)
+# which equals d for inside pixels (all W dominate d) and is <= 0 for
+# outside/culled ones (some W < 0, or d = 0 for culled) — no compares, no
+# selects, ~2 fewer VPU ops per (triangle, pixel) pair in the hot epilogue.
+# The only semantic shift vs an explicit compare is a barycentric sliver of
+# width d/SCALE ~ 1e-9 at the -TOL boundary where cand lands in (0, d).
+_INSIDE_SCALE = 2.0 ** 30
+_INSIDE_TOL = 1e-5
+_INSIDE_C = _INSIDE_SCALE * (1.0 + 3.0 * _INSIDE_TOL)
+
+
 def _check_resolution(width, height):
     if width > MAX_KERNEL_SIDE or height > MAX_KERNEL_SIDE:
         raise ValueError(
@@ -190,6 +208,66 @@ def spatial_sort_faces(verts, faces, chunk: int = 64):
 
     perm = jnp.concatenate(rec(jnp.arange(f_pad)))
     return faces[perm[:n_f]]
+
+
+def antipodal_pair_faces(verts, faces, lane: int = None):
+    """Reorder + pad ``faces`` for the PAIRED raster path: an int32
+    [2*f_half, 3] array where slots j and j + f_half hold faces with
+    near-opposite normals (greedy antipodal matching), padded with degenerate
+    [0, 0, 0] rows (zero area -> culled).
+
+    For a closed backface-culled mesh, at most one face of an antipodal pair
+    is front-facing except in a thin silhouette band, so the kernel can
+    per-pose SELECT the live face of each pair into a half-size raster
+    region (plus a small compacted overflow for both-live pairs) — the
+    "fewer (triangle, pixel) pairs" algorithmic step the dense path's
+    measured VMEM-traffic ceiling calls for. Measured on the 1280-face bench
+    blob: both-live pairs mean 42 / p95 79 / max 93 of 640 over 300 random
+    poses (one 128-slot overflow region covers ~every pose).
+
+    Requires concrete (non-traced) inputs; correctness never depends on the
+    pairing quality — badly paired or open meshes only shift work into the
+    overflow regions."""
+    import numpy as np
+
+    lane = LANE if lane is None else lane
+    verts = np.asarray(verts)
+    faces = np.asarray(faces)
+    n_f = faces.shape[0]
+    tri = verts[faces]
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    n = n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-30)
+    # deterministic sweep order; each unmatched face grabs the most-opposite
+    # remaining normal (O(n^2) vectorized — preprocessing, tiny meshes)
+    order = np.argsort(n @ np.array([1.0, 0.577, 0.21]))
+    alive = np.ones(n_f, bool)
+    left, right = [], []
+    for i in order:
+        if not alive[i]:
+            continue
+        alive[i] = False
+        rest = np.nonzero(alive)[0]
+        if rest.size == 0:
+            left.append(i)
+            right.append(-1)
+            break
+        j = int(rest[np.argmin(n[rest] @ n[i])])
+        alive[j] = False
+        left.append(i)
+        right.append(j)
+    f_half = _round_up(max(len(left), 1), lane)
+    out = np.zeros((2 * f_half, 3), np.int32)
+    out[: len(left)] = faces[left]
+    rr = np.asarray(right)
+    keep = rr >= 0
+    out[f_half : f_half + len(right)][keep] = faces[rr[keep]]
+    return jnp.asarray(out)
+
+
+# Overflow region width for the paired path: one 128-lane tile. Regions are
+# @pl.when-gated on the per-pose both-live count, so extra regions only cost
+# when silhouette overflow actually reaches them.
+_PAIR_OVERFLOW = LANE
 
 
 # Static cap on the number of @pl.when raster regions (n_chunks * n_bands):
@@ -300,12 +378,17 @@ def _bf16_split(x):
 # agree to reduction-order float noise (the raster dot's K=6 accumulation
 # can associate differently for the different M extent).
 def _compact_cap(f_pad):
-    return _round_up((f_pad + 1) // 2, LANE)
+    """Slots per region. Backface+view culling kills ~half the triangles in
+    EXPECTATION, but per-pose live counts reach ~57% on bumpy closed meshes
+    (measured 526-731 of 1280 on the flagship blob) — a cap of f_pad/2 sends
+    a third of poses into the second region, paying full epilogue plus the
+    compaction overhead. 0.6*f_pad covers ~all poses with one region."""
+    return _round_up(int(0.6 * f_pad), LANE)
 
 
 def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
                  backface_cull, score_fn=None, with_mu=False, band_cull=True,
-                 compact=False):
+                 compact=False, paired=False):
     """Kernel body. Refs: cam (SMEM [1,8]), pose (VMEM [1, POSE_BLOCK, 8]),
     tri (VMEM [9,f_pad]) [, z (VMEM [1,p_pad]), prior (VMEM [1,p_pad])],
     outputs, then scratch: 9 coefficient planes (VMEM [POSE_BLOCK, f_pad],
@@ -323,6 +406,12 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
     """
     n_chunks = f_pad // chunk
     PB = POSE_BLOCK
+    if 1.0 / near >= 0.5 * _INSIDE_SCALE * _INSIDE_TOL:
+        # the branch-free inside test needs every inside pixel's scaled edge
+        # values (>= SCALE*TOL) to dominate the inverse depth (<= 1/near)
+        raise ValueError(
+            f"near plane {near} too small for the branch-free inside test "
+            f"(requires 1/near < {0.5 * _INSIDE_SCALE * _INSIDE_TOL:.0f})")
     gc_x, gc_y = _grid_center(width, height)
     bands = _band_slices(p_pad, n_chunks) if band_cull else [(0, p_pad)]
     n_bands = len(bands)
@@ -414,11 +503,16 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         factor = jnp.where(valid, 1.0 / jnp.where(valid, area, 1.0), 0.0)
 
         # w2' is derived at raster time (w2' = 1 - w0' - w1'); only the first
-        # two edge groups and the depth group are stored/evaluated. For culled
-        # triangles factor=0 -> w0'=w1'=0 (inside-test passes vacuously with
-        # the derived w2'=1) but d'=0, so they lose to the background max.
-        coeffs = [a0 * factor, b0 * factor, c0 * factor,
-                  a1 * factor, b1 * factor, c1 * factor,
+        # two edge groups and the depth group are stored/evaluated. The edge
+        # groups carry the _INSIDE_SCALE/_INSIDE_TOL folding (see the
+        # constants above) so the epilogue is branch-free. For culled
+        # triangles factor=0 -> W0=W1=SCALE*TOL > 0 (inside-test passes
+        # vacuously) but d'=0, so they lose to the background max.
+        fK = factor * _INSIDE_SCALE
+        coeffs = [a0 * fK, b0 * fK,
+                  (c0 * factor + _INSIDE_TOL) * _INSIDE_SCALE,
+                  a1 * fK, b1 * fK,
+                  (c1 * factor + _INSIDE_TOL) * _INSIDE_SCALE,
                   d_a * factor, d_b * factor, d_c * factor]
         for k, val in enumerate(coeffs):
             form_refs[k][:] = val  # full [PB, f_pad] aligned store
@@ -436,7 +530,7 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
             # baked into band_v.
             vmin = jnp.minimum(jnp.minimum(v[0], v[1]), v[2])
             vmax = jnp.maximum(jnp.maximum(v[0], v[1]), v[2])
-            tol = 1e-5 * (vmax - vmin)
+            tol = _INSIDE_TOL * (vmax - vmin)
             vmin = vmin - tol
             vmax = vmax + tol
         for c in range(n_chunks):
@@ -463,9 +557,12 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         maxd_ref[:] = jnp.zeros((PB, p_pad), jnp.float32)
 
         # validity from the zeroed forms: a culled triangle has factor 0 ->
-        # all edge coefficients zero; a live one has a nonzero edge-0 normal
-        validf = ((jnp.abs(form_refs[0][:]) + jnp.abs(form_refs[1][:])
-                   + jnp.abs(form_refs[2][:])) > 0).astype(jnp.float32)
+        # zero a/b edge coefficients (the c rows carry the folded SCALE*TOL
+        # offset even when culled, so they are excluded); a live triangle has
+        # a nonzero edge-0 normal (exact zero would mean two vertices
+        # project identically -> zero area -> culled)
+        validf = ((jnp.abs(form_refs[0][:]) + jnp.abs(form_refs[1][:]))
+                  > 0).astype(jnp.float32)
         # lane-axis prefix sum (Hillis-Steele with static shifted concats:
         # portable to interpret mode, no circular-roll masking)
         run = validf
@@ -513,9 +610,9 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
                         w0 = out[0 * cap:1 * cap]
                         w1 = out[1 * cap:2 * cap]
                         dd = out[2 * cap:3 * cap]
-                        inside = (jnp.minimum(w0, w1) >= -1e-5) & (
-                            w0 + w1 <= 1 + 1e-5)
-                        cand = jnp.where(inside, dd, 0.0)
+                        w2 = _INSIDE_C - (w0 + w1)
+                        cand = jnp.minimum(
+                            jnp.minimum(jnp.minimum(w0, w1), w2), dd)
                         maxd_ref[p:p + 1, bs:be] = jnp.maximum(
                             maxd_ref[p:p + 1, bs:be],
                             jnp.max(cand, axis=0, keepdims=True))
@@ -528,6 +625,139 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
                         if pend is not None:
                             epilogue(*pend)
                         pend = (out, bs, be)
+                    epilogue(*pend)
+
+        maxd = maxd_ref[:]
+        return jnp.where(maxd > 0, 1.0 / jnp.where(maxd > 0, maxd, 1.0), 0.0)
+
+    # ---- paired path: antipodal pair selection + silhouette overflow ----
+    # The dense path's measured floor is the (triangle, pixel) pairs the
+    # raster dot materializes (stripping the whole epilogue to a bare max
+    # leaves 5.50 us/pose unchanged at the flagship config). With
+    # antipodal_pair_faces preprocessing, at most one face of each pair is
+    # front-facing outside a thin silhouette band, so per pose we SELECT the
+    # live face of every pair into a half-size always-run region A (9 VPU
+    # selects on [PB, f_half] planes — the VPU is idle during the dots), and
+    # compact the rare both-live R faces into @pl.when-gated overflow regions
+    # of _PAIR_OVERFLOW slots via the same one-hot MXU permutation as the
+    # compact path (cheap here: the one-hot is [128, f_half], ~6x smaller).
+    # Worst case (open mesh, no culling) every pair overflows and the cost
+    # degenerates to ~the dense path; typical closed meshes run
+    # (f_half + 128) / f_pad ~ 60% of the dense pairs.
+    f_half = f_pad // 2
+    n_over = max(f_half // _PAIR_OVERFLOW, 1)
+
+    def raster_paired(cam_ref, pose_ref, tri_ref, form_refs, band_live_ref,
+                      chunk_live_ref, live_ref, maxd_ref):
+        build_forms(cam_ref, pose_ref, tri_ref, form_refs, band_live_ref,
+                    chunk_live_ref)
+        grid = grid_rows()
+        maxd_ref[:] = jnp.zeros((PB, p_pad), jnp.float32)
+
+        # pair validity from the zeroed a/b edge coefficients (the folded-
+        # tolerance c rows are nonzero even when culled)
+        validf = ((jnp.abs(form_refs[0][:]) + jnp.abs(form_refs[1][:]))
+                  > 0).astype(jnp.float32)
+        vl = validf[:, :f_half]
+        vr = validf[:, f_half:]
+        both = vl * vr  # silhouette pairs: the R face spills to overflow
+
+        # overflow slot per R face: lane-axis Hillis-Steele prefix sum
+        run = both
+        d = 1
+        while d < f_half:
+            shifted = jnp.concatenate(
+                [jnp.zeros((PB, d), jnp.float32), run[:, : f_half - d]],
+                axis=1)
+            run = run + shifted
+            d *= 2
+        slot = jnp.where(both > 0, run - 1.0, -1.0)  # [PB, f_half]
+        for p in range(PB):
+            live_ref[p] = jnp.max(
+                run[p:p + 1, f_half - 1:f_half]).astype(jnp.int32)
+
+        # region A: select the live face of each pair into the L half of
+        # every coefficient plane, in place (R halves stay intact for the
+        # overflow permutation below). Selecting f32 planes is exact.
+        vsel = vl > 0
+        for k in range(3 * N_FORMS):
+            plane = form_refs[k][:]
+            form_refs[k][:, :f_half] = jnp.where(
+                vsel, plane[:, :f_half], plane[:, f_half:])
+
+        s_base = jax.lax.broadcasted_iota(
+            jnp.int32, (_PAIR_OVERFLOW, f_half), 0).astype(jnp.float32)
+
+        for p in range(PB):
+
+            def epilogue(out, bs, be, m, p=p):
+                w0 = out[0 * m:1 * m]
+                w1 = out[1 * m:2 * m]
+                dd = out[2 * m:3 * m]
+                w2 = _INSIDE_C - (w0 + w1)
+                cand = jnp.minimum(
+                    jnp.minimum(jnp.minimum(w0, w1), w2), dd)
+                maxd_ref[p:p + 1, bs:be] = jnp.maximum(
+                    maxd_ref[p:p + 1, bs:be],
+                    jnp.max(cand, axis=0, keepdims=True))
+
+            # ---- region A: the selected pair faces (always run) ----
+            his, los = [], []
+            for g in range(N_FORMS):
+                rows = jnp.concatenate(
+                    [form_refs[3 * g + k][p:p + 1, :f_half]
+                     for k in range(3)], axis=0)
+                hi, lo = _bf16_split(rows)
+                his.append(hi)
+                los.append(lo)
+            lhs = jnp.concatenate(
+                [jnp.concatenate(his, axis=1),
+                 jnp.concatenate(los, axis=1)], axis=0)  # [6, 3*f_half]
+
+            pend = None
+            for bs, be in dense_phases:
+                out = jax.lax.dot_general(
+                    lhs, grid[:, bs:be], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if pend is not None:
+                    epilogue(*pend)
+                pend = (out, bs, be, f_half)
+            epilogue(*pend)
+
+            # ---- overflow regions: compacted both-live R faces ----
+            bigs = []
+            for g in range(N_FORMS):
+                rows = jnp.concatenate(
+                    [form_refs[3 * g + k][p:p + 1, f_half:]
+                     for k in range(3)], axis=0)
+                hi, lo = _bf16_split(rows)
+                bigs.append(jnp.concatenate([hi, lo], axis=0))  # [6, f_half]
+            slot_row = slot[p:p + 1, :]
+
+            for r in range(n_over):
+
+                @pl.when(live_ref[p] > r * _PAIR_OVERFLOW)
+                def _(r=r):
+                    # exact permutation: one 0/1 bf16 term per output row,
+                    # f32 accumulation; hi/lo rows are bf16-representable so
+                    # the cast back is lossless
+                    sel = (s_base + (r * _PAIR_OVERFLOW) == slot_row).astype(
+                        jnp.bfloat16)
+                    comps = [
+                        jax.lax.dot_general(
+                            big_g, sel, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32
+                        ).astype(jnp.bfloat16)
+                        for big_g in bigs]
+                    lhs_o = jnp.concatenate(comps, axis=1)  # [6, 3*cap_o]
+                    pend = None
+                    for bs, be in dense_phases:
+                        out = jax.lax.dot_general(
+                            lhs_o, grid[:, bs:be], (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        if pend is not None:
+                            epilogue(*pend)
+                        pend = (out, bs, be, _PAIR_OVERFLOW)
                     epilogue(*pend)
 
         maxd = maxd_ref[:]
@@ -564,10 +794,11 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
                         w0 = out[0 * chunk:1 * chunk]
                         w1 = out[1 * chunk:2 * chunk]
                         d = out[2 * chunk:3 * chunk]
-                        # w2' = 1 - w0' - w1' (exact identity; N_FORMS)
-                        inside = (jnp.minimum(w0, w1) >= -1e-5) & (
-                            w0 + w1 <= 1 + 1e-5)
-                        cand = jnp.where(inside, d, 0.0)  # d = 1/depth > 0
+                        # branch-free covered-depth candidate (see
+                        # _INSIDE_SCALE): equals d inside, <= 0 outside
+                        w2 = _INSIDE_C - (w0 + w1)
+                        cand = jnp.minimum(
+                            jnp.minimum(jnp.minimum(w0, w1), w2), d)
                         maxd_ref[p:p + 1, bs:be] = jnp.maximum(
                             maxd_ref[p:p + 1, bs:be],
                             jnp.max(cand, axis=0, keepdims=True))
@@ -607,6 +838,11 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         band_live_ref = scratch[n_form_scratch]
         chunk_live_ref = scratch[n_form_scratch + 1]
         maxd_ref = scratch[n_form_scratch + 2]
+        if paired:
+            live_ref = scratch[n_form_scratch + 3]
+            return raster_paired(cam_ref, pose_ref, tri_ref, form_refs,
+                                 band_live_ref, chunk_live_ref, live_ref,
+                                 maxd_ref)
         if compact:
             live_ref = scratch[n_form_scratch + 3]
             return raster_compact(cam_ref, pose_ref, tri_ref, form_refs,
@@ -645,7 +881,8 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
     return score_kernel
 
 
-def _scratch_shapes(f_pad, n_chunks, p_pad, band_cull=True, compact=False):
+def _scratch_shapes(f_pad, n_chunks, p_pad, band_cull=True, compact=False,
+                    paired=False):
     n_bands = len(_band_slices(p_pad, n_chunks)) if band_cull else 1
     shapes = (
         [pltpu.VMEM((POSE_BLOCK, f_pad), jnp.float32)
@@ -654,27 +891,58 @@ def _scratch_shapes(f_pad, n_chunks, p_pad, band_cull=True, compact=False):
            pltpu.SMEM((POSE_BLOCK * n_chunks,), jnp.int32),
            pltpu.VMEM((POSE_BLOCK, p_pad), jnp.float32)]
     )
-    if compact:
+    if compact or paired:
         shapes.append(pltpu.SMEM((POSE_BLOCK,), jnp.int32))
     return shapes
 
 
 def _resolve_compact(compact, band_cull, f_pad):
-    """Auto policy: compaction pays when the epilogue dominates and half the
-    triangles are dead — on by default for dense (non-banded) renders of
-    mid-size meshes. Below ~512 faces a single region would always run
-    (pure overhead); above ~2048 the one-hot matrix outgrows its VMEM/MXU
-    sweet spot (S is [cap, f_pad] bf16)."""
+    """Auto policy: OFF. Measured on v5e at the flagship config (1280 faces,
+    30x30, 200-vs-2000-repeat scanned slopes): dense 5.50 us/pose,
+    compact 6.83 us/pose at cap=0.6*f_pad (7.15 at n=100), and the e2e bench
+    regressed 144.6k -> 119.3k hyp/s at the original cap=f_pad/2. The one-hot
+    build ([cap, f_pad] compares, ~1M VPU element-ops/pose) plus the
+    permutation dots cost more than the ~40% epilogue rows they remove; the
+    savings the analysis predicted assumed the epilogue was the ONLY
+    per-pair cost, but out-materialization traffic scales with pairs too and
+    is already partially hidden behind the MXU. Kept as an explicit opt-in
+    for meshes/configs where the live fraction is far below 0.6."""
     if compact is None:
-        return (not band_cull) and 512 <= f_pad <= 2048
+        return False
     return bool(compact) and not band_cull
 
 
+def _resolve_paired(paired, band_cull, compact, n_chunks, f_pad, n_faces):
+    """The paired path needs antipodal_pair_faces layout (faces length
+    2*f_half, lane-aligned, resolving to a single chunk) and is exclusive
+    with band culling / compaction."""
+    if not paired:
+        return False
+    if band_cull or compact:
+        raise ValueError("paired raster is exclusive with band_cull/compact")
+    if n_chunks != 1 or f_pad != n_faces or f_pad % (2 * LANE) != 0:
+        raise ValueError(
+            "paired raster requires antipodal_pair_faces preprocessing: "
+            f"faces length {n_faces} must equal the padded single-chunk "
+            f"f_pad {f_pad} and be a multiple of {2 * LANE}")
+    return True
+
+
+def paired_layout_ok(n_faces, n_pix, chunk=None):
+    """True when a mesh of ``n_faces`` can take the paired raster path at
+    ``n_pix`` pixels: the paired layout (2 * round_up(ceil(n/2), LANE)
+    slots) must still resolve to a single triangle chunk under the VMEM
+    budget."""
+    f_half = _round_up(max((n_faces + 1) // 2, 1), LANE)
+    n_pair = 2 * f_half
+    return chunk is None and resolve_chunk(n_pair, n_pix) == n_pair
+
+
 @partial(jax.jit, static_argnames=("height", "width", "chunk", "backface_cull",
-                                   "band_cull", "compact"))
+                                   "band_cull", "compact", "paired"))
 def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
                         height=None, width=None, chunk=None, backface_cull=True,
-                        band_cull=False, compact=None):
+                        band_cull=False, compact=None, paired=False):
     """Drop-in Pallas replacement for rasterize.render_depth_batch:
     [N] poses -> [N, H, W] z-depth maps (0 = background).
 
@@ -695,10 +963,12 @@ def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
     n_chunks = f_pad // chunk
 
     compact = _resolve_compact(compact, band_cull, f_pad)
+    paired = _resolve_paired(paired, band_cull, compact, n_chunks, f_pad,
+                             faces.shape[0])
     tri_rows = expand_triangle_rows(verts, faces, f_pad)
     kernel = _make_kernel(width, height, p_pad, f_pad, chunk,
                           float(cam.near), float(cam.far), n_pix, backface_cull,
-                          band_cull=band_cull, compact=compact)
+                          band_cull=band_cull, compact=compact, paired=paired)
 
     pose_rows = _pose_rows(t, q)
     n_prog = pose_rows.shape[0]
@@ -713,7 +983,7 @@ def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
         out_specs=pl.BlockSpec((1, POSE_BLOCK, p_pad), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_prog, POSE_BLOCK, p_pad), jnp.float32),
         scratch_shapes=_scratch_shapes(f_pad, n_chunks, p_pad, band_cull,
-                                       compact),
+                                       compact, paired),
         interpret=_interpret_mode(),
     )(_camera_row(cam, width, height), pose_rows, tri_rows)
     return mu.reshape(-1, p_pad)[:n, :n_pix].reshape(n, height, width)
@@ -726,11 +996,11 @@ def _flatten_pad_image(img, p_pad):
 
 @partial(jax.jit, static_argnames=("height", "width", "chunk", "score_fn",
                                    "return_mu", "backface_cull", "band_cull",
-                                   "compact"))
+                                   "compact", "paired"))
 def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
                         score_fn, height=None, width=None, chunk=None,
                         return_mu=False, backface_cull=True, band_cull=False,
-                        compact=None):
+                        compact=None, paired=False):
     """Fully-fused transform + render + associate + score.
 
     ``score_fn(mu, z, prior_o) -> (ell_px, o)``: elementwise per-pixel log
@@ -751,6 +1021,8 @@ def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
     n_chunks = f_pad // chunk
 
     compact = _resolve_compact(compact, band_cull, f_pad)
+    paired = _resolve_paired(paired, band_cull, compact, n_chunks, f_pad,
+                             faces.shape[0])
     tri_rows = expand_triangle_rows(verts, faces, f_pad)
     z_row = _flatten_pad_image(z_img.astype(jnp.float32), p_pad)
     prior_row = _flatten_pad_image(
@@ -759,7 +1031,7 @@ def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
     kernel = _make_kernel(width, height, p_pad, f_pad, chunk,
                           float(cam.near), float(cam.far), n_pix, backface_cull,
                           score_fn=score_fn, with_mu=return_mu,
-                          band_cull=band_cull, compact=compact)
+                          band_cull=band_cull, compact=compact, paired=paired)
 
     pose_rows = _pose_rows(t, q)
     n_prog = pose_rows.shape[0]
@@ -790,7 +1062,7 @@ def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=_scratch_shapes(f_pad, n_chunks, p_pad, band_cull,
-                                       compact),
+                                       compact, paired),
         interpret=_interpret_mode(),
     )(_camera_row(cam, width, height), pose_rows, tri_rows, z_row, prior_row)
 

@@ -192,6 +192,55 @@ def test_compact_matches_dense(key):
     np.testing.assert_allclose(np.asarray(so0), np.asarray(so1), rtol=1e-4)
 
 
+def test_paired_matches_dense(key):
+    """The paired path (antipodal pair selection + silhouette overflow) must
+    reproduce the dense path on closed meshes, open meshes (worst-case
+    pairing: every live pair may overflow), odd face counts, and the fused
+    score path; and FusedPosterior must auto-enable it for concrete meshes.
+    Reference behavior: SciGL's full rasterization — pairing is a pure
+    per-pose repartition of the triangle set under an order-invariant max."""
+    from bayesianposeestimation.jl_tpu.ops.pallas_raster import (
+        antipodal_pair_faces, paired_layout_ok)
+
+    mesh = icosphere_mesh(0.06, 3)  # 1280 faces -> f_half 640, 5 overflows
+    verts, faces = jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces)
+    t, q = _poses(key, 9)  # one padded POSE_BLOCK row
+    fp = antipodal_pair_faces(verts, faces)
+    assert fp.shape[0] % 256 == 0
+    a = pallas_render_depth(verts, faces, CAM, t, q)
+    b = pallas_render_depth(verts, fp, CAM, t, q, paired=True)
+    _assert_renders_match(a, b)
+    assert float((np.asarray(a) > 0).mean()) > 0.005
+
+    # open mesh (no closed-surface antipodes) + odd face count: every pair
+    # can be both-live -> pure-overflow worst case must stay correct
+    v2 = jnp.array([[-0.05, -0.05, 0.0], [0.05, -0.05, 0.0],
+                    [0.05, 0.05, 0.0], [-0.05, 0.05, 0.0],
+                    [0.0, 0.0, 0.02]], jnp.float32)
+    f2 = jnp.array([[0, 1, 4], [1, 2, 4], [2, 3, 4]], jnp.int32)  # odd
+    a2 = pallas_render_depth(v2, f2, CAM, t, q)
+    b2 = pallas_render_depth(v2, antipodal_pair_faces(v2, f2), CAM, t, q,
+                             paired=True)
+    _assert_renders_match(a2, b2)
+
+    # fused score path
+    params = Parameters(width=16, height=16)
+    z = jnp.where(a[0] > 0, a[0], jnp.inf)
+    fn = make_score_fn(params, "association")
+    ell0, so0 = pallas_render_score(verts, faces, CAM, t, q, z, 0.7, fn)
+    ell1, so1 = pallas_render_score(verts, fp, CAM, t, q, z, 0.7, fn,
+                                    paired=True)
+    np.testing.assert_allclose(np.asarray(ell0), np.asarray(ell1), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(so0), np.asarray(so1), rtol=1e-4)
+
+    # layout gate: flagship-size fits, oversize falls back; un-paired
+    # (lane-unaligned) face arrays are rejected
+    assert paired_layout_ok(1280, 900)
+    assert not paired_layout_ok(4000, 900)
+    with pytest.raises(ValueError):
+        pallas_render_depth(v2, f2, CAM, t, q, paired=True)
+
+
 def test_spatial_sort_is_permutation(key):
     """Bisection reordering must keep the face set identical (only order may
     change) and tighten per-chunk centroid extents (chunks are bisection
