@@ -29,18 +29,31 @@ def synthetic_stream(n_frames, width, height, seed=0):
     from bayesianposeestimation.jl_tpu.ops.rasterize import render_depth_batch
     from bayesianposeestimation.jl_tpu.utils import mesh_io
 
-    mesh = mesh_io.monkey_mesh(0.08)
+    # Reference operating point (hand-held object in front of a RealSense):
+    # an 18 cm object at ~0.5 m spans ~32 px of the 80x60 frame (~700 px
+    # area) over a full-frame background plane. Both matter for realism: the
+    # SimpleImageRegularization likelihood carries c_reg=50 effective pixels
+    # of evidence for the WHOLE image (Models.jl:81-87 parity), so a
+    # far-away blob over invalid (z=0, excluded) background yields a
+    # near-flat likelihood and the filter just coasts on its motion prior —
+    # which is exactly what an early version of this benchmark measured.
+    mesh = mesh_io.monkey_mesh(0.18)
     cam = CvCamera(width=width, height=height, f_x=1.1 * width, f_y=1.1 * width,
                    c_x=(width - 1) / 2, c_y=(height - 1) / 2, near=0.01, far=10.0)
     ts_ = np.linspace(0, 2 * np.pi, n_frames)
-    gt_t = np.stack([0.04 * np.sin(ts_), 0.03 * np.cos(ts_), 1.0 + 0.05 * np.sin(2 * ts_)], 1)
+    gt_t = np.stack([0.04 * np.sin(ts_), 0.03 * np.cos(ts_),
+                     0.50 + 0.03 * np.sin(2 * ts_)], 1)
     gt_q = np.asarray(jax.vmap(quat.qexp)(jnp.asarray(
         np.stack([0.8 * ts_, 0.2 * np.sin(ts_), 0.1 * ts_], 1), jnp.float32)))
     depth = np.asarray(render_depth_batch(
         jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces), cam,
         jnp.asarray(gt_t, jnp.float32), jnp.asarray(gt_q, jnp.float32)))
+    # tabletop/background plane at 1.1 m wherever the object is absent
+    depth = np.where(depth > 0, depth, 1.1)
     rng = np.random.default_rng(seed)
-    noisy = np.where(depth > 0, depth + rng.normal(0, 0.005, depth.shape), 0.0)
+    noisy = depth + rng.normal(0, 0.005, depth.shape)
+    # RealSense-style speckle dropout: ~2% of pixels invalid per frame
+    noisy = np.where(rng.random(depth.shape) < 0.02, 0.0, noisy)
     return dict(depth=noisy.astype(np.float32), camera=cam,
                 gt_t=gt_t.astype(np.float32), gt_q=gt_q.astype(np.float32)), mesh
 
@@ -78,10 +91,20 @@ def main():
     from bayesianposeestimation.jl_tpu.utils.experiment_io import load_depth_stream
 
     n_particles = args.n_particles or (600 if args.filter == "coordinate" else 1250)
+    # Per-filter proposal scales. The coordinate PF re-weights each block
+    # against the likelihood, so it tolerates (and benefits from) wide
+    # proposals; the bootstrap PF only diffuses, so its acceleration noise
+    # must stay near the true motion scale — a 3-seed sweep on the synthetic
+    # stream put its optimum at sigma_t 2 mm / sigma_r 0.03 (median error
+    # 9-11 mm vs 22 mm at the coordinate settings).
+    if args.filter == "coordinate":
+        sigma_t, sigma_r = 0.005, 0.05
+    else:
+        sigma_t, sigma_r = 0.002, 0.03
     params = Parameters(width=args.width, height=args.height,
                         n_particles=n_particles,
-                        proposal_sigma_t=(0.005, 0.005, 0.005),
-                        proposal_sigma_r=(0.05, 0.05, 0.05))
+                        proposal_sigma_t=(sigma_t,) * 3,
+                        proposal_sigma_r=(sigma_r,) * 3)
 
     if args.stream:
         stream = load_depth_stream(args.stream)
@@ -156,6 +179,7 @@ def main():
         from bayesianposeestimation.jl_tpu.utils.experiment_io import save_tum
 
         base = Path(args.export_tum)
+        base.parent.mkdir(parents=True, exist_ok=True)
         save_tum(str(base) + ".tum", stamps[1:], est_t, est_q)
         if "gt_t" in stream:
             save_tum(str(base) + "_gt.tum", stamps, stream["gt_t"],
@@ -163,22 +187,30 @@ def main():
         print(f"wrote {base}.tum" + (" + gt" if "gt_t" in stream else ""))
 
     median_err_mm = None
+    median_rot_deg = None
     ok = True
     if "gt_t" in stream:
         err = np.linalg.norm(est_t - stream["gt_t"][1:], axis=1)
         median_err_mm = float(np.median(err) * 1000)
+        dot = np.abs(np.sum(est_q * stream["gt_q"][1:], axis=1))
+        rot_err = 2.0 * np.degrees(np.arccos(np.clip(dot, -1.0, 1.0)))
+        median_rot_deg = float(np.median(rot_err))
         print(f"mean translation error: {err.mean()*1000:.1f} mm "
-              f"(median {median_err_mm:.1f} mm)")
-        # pass gate at the demonstrated envelope (~5.5 mm typical on the
-        # synthetic stream; r2 VERDICT weak #7: 50 mm would miss a 5x
-        # regression)
-        ok = np.median(err) < 0.015
+              f"(median {median_err_mm:.1f} mm); "
+              f"median rotation error: {median_rot_deg:.1f} deg")
+        # pass gate at the demonstrated envelope (r2 VERDICT weak #7: a
+        # loose gate would miss a 5x regression). Both filters land at
+        # 1.2-1.6 mm / 3-4 deg median on this stream. Rotation is gated too
+        # now that the stream has enough object coverage for orientation
+        # evidence.
+        ok = np.median(err) < 0.005 and median_rot_deg < 10.0
     record = {
         "metric": f"{args.filter}-pf fps ({n_particles} particles, "
                   f"{args.width}x{args.height})",
         "value": round(fps, 1), "unit": "fps",
         "vs_baseline": round(fps / 90.0, 3),
         "median_error_mm": median_err_mm,
+        "median_rot_deg": median_rot_deg,
     }
     print(json.dumps(record))
     if args.out_json:
