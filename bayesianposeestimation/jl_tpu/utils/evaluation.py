@@ -414,9 +414,28 @@ def mean_step_time(key, model, sampler, n_particles=None, max_seconds=0.5,
     # the long-probe average (conservative: overestimates the step time)
     if not np.isfinite(t_step) or t_step <= 0:
         t_step = mins[n_long] / n_long
-        overhead = 0.0
-    else:
-        overhead = max(mins[n_short] - n_short * t_step, 0.0)
+    # Tunnel jitter on min-over-reps is O(ms); when the differenced work is
+    # comparable, the slope can be off by orders of magnitude in EITHER
+    # direction (one measured run budgeted 445k steps against a 0.5 s
+    # budget from a ~0 diff). Re-probe with a length that puts >= ~50 ms of
+    # step work in the difference — the 200-vs-2000-repeat rule the kernel
+    # profiler uses, scaled adaptively so slow configs don't over-run.
+    if (mins[n_long] - mins[n_short]) < 0.02:
+        n2 = int(np.clip(0.05 / max(t_step, 1e-7), 2 * n_long, 4096))
+        probe2 = make_probe(n2)
+        jax.block_until_ready(probe2(k_step, state))
+        t_end = time.perf_counter() + max_seconds / 2
+        best2 = np.inf
+        reps = 0
+        while time.perf_counter() < t_end and reps < 20:
+            t0 = time.perf_counter()
+            jax.block_until_ready(probe2(k_step, state))
+            best2 = min(best2, time.perf_counter() - t0)
+            reps += 1
+        slope = (best2 - mins[n_long]) / (n2 - n_long)
+        if np.isfinite(slope) and slope > 0:
+            t_step, mins[n2] = slope, best2
+    overhead = max(mins[n_short] - n_short * t_step, 0.0)
     if return_overhead:
         return float(t_step), float(overhead)
     return float(t_step)
