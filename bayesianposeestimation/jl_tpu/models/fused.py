@@ -121,11 +121,13 @@ class FusedPosterior:
         # Reorder the mesh ONCE for the kernel. Preferred: antipodal pairing
         # (half-size raster region + silhouette overflow — see
         # ops.pallas_raster.antipodal_pair_faces), available when the mesh is
-        # concrete, backface-culled, and small enough to resolve to a single
-        # triangle chunk. Fallback: chunk-aligned spatial sort so the
-        # per-(chunk, band) liveness culling can skip dead raster regions.
-        # Doing it here (not per render call) keeps the work out of the
-        # sampler's scanned step.
+        # concrete, backface-culled, and small enough that the unrolled
+        # A-chunk + overflow regions fit the kernel's region cap (the A
+        # region itself is chunked, so multi-chunk resolutions like 50x50
+        # qualify). Fallback: chunk-aligned spatial sort so the per-(chunk,
+        # band) liveness culling can skip dead raster regions. Doing it here
+        # (not per render call) keeps the work out of the sampler's scanned
+        # step.
         scene = experiment.scene
         n_pix = params.width * params.height
         concrete = not (isinstance(scene["faces"], jax.core.Tracer)

@@ -216,6 +216,10 @@ def antipodal_pair_faces(verts, faces, lane: int = None):
     near-opposite normals (greedy antipodal matching), padded with degenerate
     [0, 0, 0] rows (zero area -> culled).
 
+    f_half is lane-aligned, which guarantees the render wrapper's A-chunk
+    auto-choice (minimal padded total) is a divisor of f_half — the
+    multi-chunk paired path needs no tail handling at any resolution.
+
     For a closed backface-culled mesh, at most one face of an antipodal pair
     is front-facing except in a thin silhouette band, so the kernel can
     per-pose SELECT the live face of each pair into a half-size raster
@@ -644,8 +648,15 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
     # Worst case (open mesh, no culling) every pair overflows and the cost
     # degenerates to ~the dense path; typical closed meshes run
     # (f_half + 128) / f_pad ~ 60% of the dense pairs.
+    #
+    # Region A is itself chunked (chunk | f_half, enforced by
+    # _resolve_paired) so the path works past the single-chunk VMEM budget —
+    # e.g. 50x50 renders where the dot output caps chunks at 512 faces. Each
+    # A-chunk is gated on the union of its L/R liveness flags from
+    # build_forms (conservative: selection only drops faces).
     f_half = f_pad // 2
     n_over = max(f_half // _PAIR_OVERFLOW, 1)
+    n_chunks_a = f_half // chunk if paired else 1
 
     def raster_paired(cam_ref, pose_ref, tri_ref, form_refs, band_live_ref,
                       chunk_live_ref, live_ref, maxd_ref):
@@ -701,28 +712,47 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
                     maxd_ref[p:p + 1, bs:be],
                     jnp.max(cand, axis=0, keepdims=True))
 
-            # ---- region A: the selected pair faces (always run) ----
-            his, los = [], []
-            for g in range(N_FORMS):
-                rows = jnp.concatenate(
-                    [form_refs[3 * g + k][p:p + 1, :f_half]
-                     for k in range(3)], axis=0)
-                hi, lo = _bf16_split(rows)
-                his.append(hi)
-                los.append(lo)
-            lhs = jnp.concatenate(
-                [jnp.concatenate(his, axis=1),
-                 jnp.concatenate(los, axis=1)], axis=0)  # [6, 3*f_half]
+            # ---- region A: the selected pair faces, chunked; each chunk
+            # is gated on (L-chunk live | R-chunk live) computed by
+            # build_forms over the pair layout. The single-chunk case runs
+            # ungated: a @pl.when around the region costs ~20% e2e at the
+            # flagship config (measured 185k -> 149k hyp/s — the branch
+            # fences the dot/epilogue pipeline), and a whole-mesh A region
+            # is live for any on-screen pose anyway. ----
+            def region_a(ca):
+                cs = pl.ds(ca * chunk, chunk)
+                his, los = [], []
+                for g in range(N_FORMS):
+                    rows = jnp.concatenate(
+                        [form_refs[3 * g + k][p:p + 1, cs]
+                         for k in range(3)], axis=0)
+                    hi, lo = _bf16_split(rows)
+                    his.append(hi)
+                    los.append(lo)
+                lhs = jnp.concatenate(
+                    [jnp.concatenate(his, axis=1),
+                     jnp.concatenate(los, axis=1)], axis=0)  # [6, 3*chunk]
 
-            pend = None
-            for bs, be in dense_phases:
-                out = jax.lax.dot_general(
-                    lhs, grid[:, bs:be], (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                if pend is not None:
-                    epilogue(*pend)
-                pend = (out, bs, be, f_half)
-            epilogue(*pend)
+                pend = None
+                for bs, be in dense_phases:
+                    out = jax.lax.dot_general(
+                        lhs, grid[:, bs:be], (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    if pend is not None:
+                        epilogue(*pend)
+                    pend = (out, bs, be, chunk)
+                epilogue(*pend)
+
+            for ca in range(n_chunks_a):
+                if n_chunks_a == 1:
+                    region_a(ca)
+                else:
+
+                    @pl.when(chunk_live_ref[p * n_chunks + ca]
+                             + chunk_live_ref[p * n_chunks + n_chunks_a + ca]
+                             > 0)
+                    def _(ca=ca):
+                        region_a(ca)
 
             # ---- overflow regions: compacted both-live R faces ----
             bigs = []
@@ -912,30 +942,42 @@ def _resolve_compact(compact, band_cull, f_pad):
     return bool(compact) and not band_cull
 
 
-def _resolve_paired(paired, band_cull, compact, n_chunks, f_pad, n_faces):
+def _resolve_paired(paired, band_cull, compact, n_chunks, f_pad, n_faces,
+                    chunk):
     """The paired path needs antipodal_pair_faces layout (faces length
-    2*f_half, lane-aligned, resolving to a single chunk) and is exclusive
-    with band culling / compaction."""
+    2*f_half, lane-aligned halves, A-chunk dividing the half) and is
+    exclusive with band culling / compaction."""
     if not paired:
         return False
     if band_cull or compact:
         raise ValueError("paired raster is exclusive with band_cull/compact")
-    if n_chunks != 1 or f_pad != n_faces or f_pad % (2 * LANE) != 0:
+    f_half = f_pad // 2
+    if (f_pad != n_faces or f_pad % (2 * LANE) != 0
+            or f_half % chunk != 0):
         raise ValueError(
             "paired raster requires antipodal_pair_faces preprocessing: "
-            f"faces length {n_faces} must equal the padded single-chunk "
-            f"f_pad {f_pad} and be a multiple of {2 * LANE}")
+            f"faces length {n_faces} must equal f_pad {f_pad}, have "
+            f"{LANE}-aligned halves, and chunk {chunk} must divide the "
+            f"half {f_half}")
     return True
+
+
+def _paired_chunk(n_pair, p_pad):
+    """A-chunk size for a paired layout of ``n_pair`` slots: the dense
+    auto-chunk of the HALF (always a divisor of the lane-aligned half)."""
+    return _auto_chunk(n_pair // 2, p_pad)
 
 
 def paired_layout_ok(n_faces, n_pix, chunk=None):
     """True when a mesh of ``n_faces`` can take the paired raster path at
-    ``n_pix`` pixels: the paired layout (2 * round_up(ceil(n/2), LANE)
-    slots) must still resolve to a single triangle chunk under the VMEM
-    budget."""
+    ``n_pix`` pixels: the unrolled region count (A-chunks + silhouette
+    overflow regions) must stay within the kernel's region cap."""
+    if chunk is not None:
+        return False
     f_half = _round_up(max((n_faces + 1) // 2, 1), LANE)
-    n_pair = 2 * f_half
-    return chunk is None and resolve_chunk(n_pair, n_pix) == n_pair
+    chunk_a = _paired_chunk(2 * f_half, _round_up(n_pix, LANE))
+    regions = f_half // chunk_a + max(f_half // _PAIR_OVERFLOW, 1)
+    return regions <= _MAX_REGIONS
 
 
 @partial(jax.jit, static_argnames=("height", "width", "chunk", "backface_cull",
@@ -958,13 +1000,14 @@ def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
     n_pix = height * width
     p_pad = _round_up(n_pix, LANE)
     if chunk is None:
-        chunk = _auto_chunk(faces.shape[0], p_pad)
+        chunk = (_paired_chunk(faces.shape[0], p_pad) if paired
+                 else _auto_chunk(faces.shape[0], p_pad))
     f_pad = _round_up(faces.shape[0], chunk)
     n_chunks = f_pad // chunk
 
     compact = _resolve_compact(compact, band_cull, f_pad)
     paired = _resolve_paired(paired, band_cull, compact, n_chunks, f_pad,
-                             faces.shape[0])
+                             faces.shape[0], chunk)
     tri_rows = expand_triangle_rows(verts, faces, f_pad)
     kernel = _make_kernel(width, height, p_pad, f_pad, chunk,
                           float(cam.near), float(cam.far), n_pix, backface_cull,
@@ -1016,13 +1059,14 @@ def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
     n_pix = height * width
     p_pad = _round_up(n_pix, LANE)
     if chunk is None:
-        chunk = _auto_chunk(faces.shape[0], p_pad)
+        chunk = (_paired_chunk(faces.shape[0], p_pad) if paired
+                 else _auto_chunk(faces.shape[0], p_pad))
     f_pad = _round_up(faces.shape[0], chunk)
     n_chunks = f_pad // chunk
 
     compact = _resolve_compact(compact, band_cull, f_pad)
     paired = _resolve_paired(paired, band_cull, compact, n_chunks, f_pad,
-                             faces.shape[0])
+                             faces.shape[0], chunk)
     tri_rows = expand_triangle_rows(verts, faces, f_pad)
     z_row = _flatten_pad_image(z_img.astype(jnp.float32), p_pad)
     prior_row = _flatten_pad_image(

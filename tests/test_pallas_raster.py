@@ -223,6 +223,12 @@ def test_paired_matches_dense(key):
                              paired=True)
     _assert_renders_match(a2, b2)
 
+    # multi-chunk region A: an explicit chunk dividing the half (640 = 5*128)
+    # exercises the chunked select/raster with per-A-chunk liveness gating —
+    # the layout the auto-choice picks at 50x50, where VMEM caps the chunk
+    b3 = pallas_render_depth(verts, fp, CAM, t, q, paired=True, chunk=128)
+    _assert_renders_match(a, b3)
+
     # fused score path
     params = Parameters(width=16, height=16)
     z = jnp.where(a[0] > 0, a[0], jnp.inf)
@@ -232,13 +238,22 @@ def test_paired_matches_dense(key):
                                     paired=True)
     np.testing.assert_allclose(np.asarray(ell0), np.asarray(ell1), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(so0), np.asarray(so1), rtol=1e-4)
+    ell2, so2 = pallas_render_score(verts, fp, CAM, t, q, z, 0.7, fn,
+                                    paired=True, chunk=128)
+    np.testing.assert_allclose(np.asarray(ell0), np.asarray(ell2), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(so0), np.asarray(so2), rtol=1e-4)
 
-    # layout gate: flagship-size fits, oversize falls back; un-paired
-    # (lane-unaligned) face arrays are rejected
+    # layout gate: flagship + 50px-scale sizes fit (multi-chunk A region);
+    # only region-cap overflow (huge meshes) falls back; un-paired
+    # (lane-unaligned) face arrays and non-dividing chunks are rejected
     assert paired_layout_ok(1280, 900)
-    assert not paired_layout_ok(4000, 900)
+    assert paired_layout_ok(1280, 2500)
+    assert paired_layout_ok(5000, 2500)
+    assert not paired_layout_ok(40000, 2500)
     with pytest.raises(ValueError):
         pallas_render_depth(v2, f2, CAM, t, q, paired=True)
+    with pytest.raises(ValueError):
+        pallas_render_depth(verts, fp, CAM, t, q, paired=True, chunk=192)
 
 
 def test_spatial_sort_is_permutation(key):
