@@ -317,6 +317,7 @@ def match_scene_errors(result_rows, errors_fn, min_visib=0.1, gt_rows=None):
 
     n_tau = len(BOP19_THRESHOLDS)
     out = {"adds": [], "vsd": [], "vsdbop": []}
+    unmatched_gt_counts = []
     for key in group_keys:
         gt_group = [g for g in gt_groups[key].values()
                     if float(g.get("visib_fract", 1.0)) >= min_visib]
@@ -324,10 +325,11 @@ def match_scene_errors(result_rows, errors_fn, min_visib=0.1, gt_rows=None):
             continue
         ests = groups.get(key, [])
         if not ests:
-            # no estimate at all for this group: every gt is a failure
-            out["adds"].append(np.full(len(gt_group), np.inf))
-            out["vsd"].append(np.full(len(gt_group), np.inf))
-            out["vsdbop"].append(np.full((len(gt_group), n_tau), np.inf))
+            # no estimate at all for this group: every gt is a failure.
+            # Deferred so the inf rows are appended only for the metrics
+            # errors_fn actually produces (a partial errors_fn would
+            # otherwise get phantom rows in the other metrics' arrays).
+            unmatched_gt_counts.append(len(gt_group))
             continue
         errs = errors_fn(ests, gt_group)
         scores = [float(r["score"]) for r in ests]
@@ -338,6 +340,15 @@ def match_scene_errors(result_rows, errors_fn, min_visib=0.1, gt_rows=None):
         if "vsdbop" in errs:
             out["vsdbop"].append(match_bop19_errors(scores, errs["vsdbop"]))
     n_tau = len(BOP19_THRESHOLDS)
+    active = [m for m in out if out[m]] or list(out)
+    for n_gt in unmatched_gt_counts:
+        # pad every ACTIVE metric (all three when no group had estimates)
+        if "adds" in active:
+            out["adds"].append(np.full(n_gt, np.inf))
+        if "vsd" in active:
+            out["vsd"].append(np.full(n_gt, np.inf))
+        if "vsdbop" in active:
+            out["vsdbop"].append(np.full((n_gt, n_tau), np.inf))
     return {
         "adds": np.concatenate(out["adds"]) if out["adds"] else np.zeros(0),
         "vsd": np.concatenate(out["vsd"]) if out["vsd"] else np.zeros(0),
@@ -434,7 +445,7 @@ def mean_step_time(key, model, sampler, n_particles=None, max_seconds=0.5,
             reps += 1
         slope = (best2 - mins[n_long]) / (n2 - n_long)
         if np.isfinite(slope) and slope > 0:
-            t_step, mins[n2] = slope, best2
+            t_step = slope
     overhead = max(mins[n_short] - n_short * t_step, 0.0)
     if return_overhead:
         return float(t_step), float(overhead)

@@ -231,6 +231,16 @@ def test_match_scene_errors_gt_denominator():
     legacy = ev.match_scene_errors(ests, errors_fn)
     assert legacy["adds"].shape == (2,)
 
+    # partial errors_fn (vsd only): the estimate-less gt must pad ONLY the
+    # active metric — no phantom rows in adds/vsdbop
+    def vsd_only(e_rows, gt_rows):
+        return {"vsd": np.full((len(e_rows), len(gt_rows)), 0.02)}
+
+    part = ev.match_scene_errors(ests, vsd_only, gt_rows=gts)
+    assert part["vsd"].shape == (3,)
+    assert part["adds"].shape == (0,)
+    assert part["vsdbop"].shape == (0, len(ev.BOP19_THRESHOLDS))
+
 
 def test_adds_chunked_and_subsampled_large_cloud(key):
     """ADD-S at 10^5 vertices: the chunked exact path matches the dense
