@@ -262,7 +262,7 @@ def antipodal_pair_faces(verts, faces, lane: int = None):
     f_half = _round_up(max(len(left), 1), lane)
     out = np.zeros((2 * f_half, 3), np.int32)
     out[: len(left)] = faces[left]
-    rr = np.asarray(right)
+    rr = np.asarray(right, np.int64)  # explicit dtype: [] is float64
     keep = rr >= 0
     out[f_half : f_half + len(right)][keep] = faces[rr[keep]]
     return jnp.asarray(out)
@@ -437,6 +437,84 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         # duplicated grid: rows 0-2 hit the hi coefficients, rows 3-5 the lo
         return jnp.concatenate([one_grid, one_grid], axis=0)  # [6, p_pad]
 
+    def lane_prefix_sum(run, width):
+        """Hillis-Steele along lanes with static shifted concats (portable
+        to interpret mode, no circular-roll masking)."""
+        d = 1
+        while d < width:
+            shifted = jnp.concatenate(
+                [jnp.zeros((PB, d), jnp.float32), run[:, : width - d]],
+                axis=1)
+            run = run + shifted
+            d *= 2
+        return run
+
+    def split_lhs(form_refs, p, sl):
+        """[6, 3*m] raster LHS for lane slice ``sl``: hi rows 0-2 / lo rows
+        3-5 (bf16x2 mantissa split), form groups along lanes."""
+        his, los = [], []
+        for g in range(N_FORMS):
+            rows = jnp.concatenate(
+                [form_refs[3 * g + k][p:p + 1, sl] for k in range(3)], axis=0)
+            hi, lo = _bf16_split(rows)
+            his.append(hi)
+            los.append(lo)
+        return jnp.concatenate(
+            [jnp.concatenate(his, axis=1),
+             jnp.concatenate(los, axis=1)], axis=0)
+
+    def split_bigs(form_refs, p, sl):
+        """Per form group: [6, w] bf16 rows (hi a,b,c over lo a,b,c) — kept
+        as THREE separate values so every permutation-dot result sits at
+        sublane offset 0 (Mosaic cannot lane-concat slices taken at
+        different sublane offsets of one larger vreg)."""
+        bigs = []
+        for g in range(N_FORMS):
+            rows = jnp.concatenate(
+                [form_refs[3 * g + k][p:p + 1, sl] for k in range(3)], axis=0)
+            hi, lo = _bf16_split(rows)
+            bigs.append(jnp.concatenate([hi, lo], axis=0))
+        return bigs
+
+    def permute_lhs(bigs, sel):
+        """Compact live rows via an exact one-hot MXU permutation: one 0/1
+        bf16 term per output row, f32 accumulation; hi/lo rows are
+        bf16-representable so the cast back is lossless."""
+        comps = [
+            jax.lax.dot_general(
+                big_g, sel, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            for big_g in bigs]
+        return jnp.concatenate(comps, axis=1)
+
+    def make_epilogue(maxd_ref, p, m):
+        """Branch-free inside-test + running z-numerator max over a dot
+        output of ``m`` triangle rows per form group (see _INSIDE_SCALE)."""
+        def epilogue(out, bs, be):
+            w0 = out[0 * m:1 * m]
+            w1 = out[1 * m:2 * m]
+            dd = out[2 * m:3 * m]
+            w2 = _INSIDE_C - (w0 + w1)
+            cand = jnp.minimum(jnp.minimum(jnp.minimum(w0, w1), w2), dd)
+            maxd_ref[p:p + 1, bs:be] = jnp.maximum(
+                maxd_ref[p:p + 1, bs:be],
+                jnp.max(cand, axis=0, keepdims=True))
+        return epilogue
+
+    def pipelined_dense(lhs, grid, epilogue):
+        """Dense-phase dots, software-pipelined: issue the NEXT phase's MXU
+        contraction before the previous phase's VPU epilogue so the
+        scheduler can overlap the units."""
+        pend = None
+        for bs, be in dense_phases:
+            out = jax.lax.dot_general(
+                lhs, grid[:, bs:be], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if pend is not None:
+                epilogue(*pend)
+            pend = (out, bs, be)
+        epilogue(*pend)
+
     def build_forms(cam_ref, pose_ref, tri_ref, form_refs, band_live_ref,
                     chunk_live_ref):
         """Transform + project + linear forms for POSE_BLOCK poses at once:
@@ -567,15 +645,7 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         # project identically -> zero area -> culled)
         validf = ((jnp.abs(form_refs[0][:]) + jnp.abs(form_refs[1][:]))
                   > 0).astype(jnp.float32)
-        # lane-axis prefix sum (Hillis-Steele with static shifted concats:
-        # portable to interpret mode, no circular-roll masking)
-        run = validf
-        d = 1
-        while d < f_pad:
-            shifted = jnp.concatenate(
-                [jnp.zeros((PB, d), jnp.float32), run[:, : f_pad - d]], axis=1)
-            run = run + shifted
-            d *= 2
+        run = lane_prefix_sum(validf, f_pad)
         slot = jnp.where(validf > 0, run - 1.0, -1.0)  # [PB, f_pad]
         for p in range(PB):
             live_ref[p] = jnp.max(run[p:p + 1, f_pad - 1:f_pad]).astype(jnp.int32)
@@ -584,52 +654,17 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
             jnp.float32)  # [cap, f_pad]: slot index per output row
 
         for p in range(PB):
-            # per form group: [6, f_pad] bf16 rows (hi a,b,c over lo a,b,c) —
-            # kept as THREE separate values so every dot result sits at
-            # sublane offset 0 (Mosaic cannot lane-concat slices taken at
-            # different sublane offsets of one larger vreg)
-            bigs = []
-            for g in range(N_FORMS):
-                rows = jnp.concatenate(
-                    [form_refs[3 * g + k][p:p + 1, :] for k in range(3)], axis=0)
-                hi, lo = _bf16_split(rows)
-                bigs.append(jnp.concatenate([hi, lo], axis=0))  # [6, f_pad]
+            bigs = split_bigs(form_refs, p, slice(None))  # 3x [6, f_pad]
             slot_row = slot[p:p + 1, :]  # [1, f_pad]
+            epilogue = make_epilogue(maxd_ref, p, cap)
 
             for r in range(n_regions):
 
                 @pl.when(live_ref[p] > r * cap)
                 def _(r=r):
                     sel = (s_base + (r * cap) == slot_row).astype(jnp.bfloat16)
-                    comps = [
-                        jax.lax.dot_general(
-                            big_g, sel, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32
-                        ).astype(jnp.bfloat16)  # [6, cap]
-                        for big_g in bigs]
                     # [6, 3*cap]: hi rows 0-2 / lo rows 3-5, groups along lanes
-                    lhs = jnp.concatenate(comps, axis=1)
-
-                    def epilogue(out, bs, be, p=p):
-                        w0 = out[0 * cap:1 * cap]
-                        w1 = out[1 * cap:2 * cap]
-                        dd = out[2 * cap:3 * cap]
-                        w2 = _INSIDE_C - (w0 + w1)
-                        cand = jnp.minimum(
-                            jnp.minimum(jnp.minimum(w0, w1), w2), dd)
-                        maxd_ref[p:p + 1, bs:be] = jnp.maximum(
-                            maxd_ref[p:p + 1, bs:be],
-                            jnp.max(cand, axis=0, keepdims=True))
-
-                    pend = None
-                    for bs, be in dense_phases:
-                        out = jax.lax.dot_general(
-                            lhs, grid[:, bs:be], (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                        if pend is not None:
-                            epilogue(*pend)
-                        pend = (out, bs, be)
-                    epilogue(*pend)
+                    pipelined_dense(permute_lhs(bigs, sel), grid, epilogue)
 
         maxd = maxd_ref[:]
         return jnp.where(maxd > 0, 1.0 / jnp.where(maxd > 0, maxd, 1.0), 0.0)
@@ -673,15 +708,8 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         vr = validf[:, f_half:]
         both = vl * vr  # silhouette pairs: the R face spills to overflow
 
-        # overflow slot per R face: lane-axis Hillis-Steele prefix sum
-        run = both
-        d = 1
-        while d < f_half:
-            shifted = jnp.concatenate(
-                [jnp.zeros((PB, d), jnp.float32), run[:, : f_half - d]],
-                axis=1)
-            run = run + shifted
-            d *= 2
+        # overflow slot per R face
+        run = lane_prefix_sum(both, f_half)
         slot = jnp.where(both > 0, run - 1.0, -1.0)  # [PB, f_half]
         for p in range(PB):
             live_ref[p] = jnp.max(
@@ -700,18 +728,6 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
             jnp.int32, (_PAIR_OVERFLOW, f_half), 0).astype(jnp.float32)
 
         for p in range(PB):
-
-            def epilogue(out, bs, be, m, p=p):
-                w0 = out[0 * m:1 * m]
-                w1 = out[1 * m:2 * m]
-                dd = out[2 * m:3 * m]
-                w2 = _INSIDE_C - (w0 + w1)
-                cand = jnp.minimum(
-                    jnp.minimum(jnp.minimum(w0, w1), w2), dd)
-                maxd_ref[p:p + 1, bs:be] = jnp.maximum(
-                    maxd_ref[p:p + 1, bs:be],
-                    jnp.max(cand, axis=0, keepdims=True))
-
             # ---- region A: the selected pair faces, chunked; each chunk
             # is gated on (L-chunk live | R-chunk live) computed by
             # build_forms over the pair layout. The single-chunk case runs
@@ -719,29 +735,11 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
             # flagship config (measured 185k -> 149k hyp/s — the branch
             # fences the dot/epilogue pipeline), and a whole-mesh A region
             # is live for any on-screen pose anyway. ----
-            def region_a(ca):
-                cs = pl.ds(ca * chunk, chunk)
-                his, los = [], []
-                for g in range(N_FORMS):
-                    rows = jnp.concatenate(
-                        [form_refs[3 * g + k][p:p + 1, cs]
-                         for k in range(3)], axis=0)
-                    hi, lo = _bf16_split(rows)
-                    his.append(hi)
-                    los.append(lo)
-                lhs = jnp.concatenate(
-                    [jnp.concatenate(his, axis=1),
-                     jnp.concatenate(los, axis=1)], axis=0)  # [6, 3*chunk]
+            epilogue_a = make_epilogue(maxd_ref, p, chunk)
 
-                pend = None
-                for bs, be in dense_phases:
-                    out = jax.lax.dot_general(
-                        lhs, grid[:, bs:be], (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    if pend is not None:
-                        epilogue(*pend)
-                    pend = (out, bs, be, chunk)
-                epilogue(*pend)
+            def region_a(ca, p=p):
+                lhs = split_lhs(form_refs, p, pl.ds(ca * chunk, chunk))
+                pipelined_dense(lhs, grid, epilogue_a)
 
             for ca in range(n_chunks_a):
                 if n_chunks_a == 1:
@@ -755,40 +753,17 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
                         region_a(ca)
 
             # ---- overflow regions: compacted both-live R faces ----
-            bigs = []
-            for g in range(N_FORMS):
-                rows = jnp.concatenate(
-                    [form_refs[3 * g + k][p:p + 1, f_half:]
-                     for k in range(3)], axis=0)
-                hi, lo = _bf16_split(rows)
-                bigs.append(jnp.concatenate([hi, lo], axis=0))  # [6, f_half]
+            bigs = split_bigs(form_refs, p, slice(f_half, None))  # 3x [6, f_half]
             slot_row = slot[p:p + 1, :]
+            epilogue_o = make_epilogue(maxd_ref, p, _PAIR_OVERFLOW)
 
             for r in range(n_over):
 
                 @pl.when(live_ref[p] > r * _PAIR_OVERFLOW)
                 def _(r=r):
-                    # exact permutation: one 0/1 bf16 term per output row,
-                    # f32 accumulation; hi/lo rows are bf16-representable so
-                    # the cast back is lossless
                     sel = (s_base + (r * _PAIR_OVERFLOW) == slot_row).astype(
                         jnp.bfloat16)
-                    comps = [
-                        jax.lax.dot_general(
-                            big_g, sel, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32
-                        ).astype(jnp.bfloat16)
-                        for big_g in bigs]
-                    lhs_o = jnp.concatenate(comps, axis=1)  # [6, 3*cap_o]
-                    pend = None
-                    for bs, be in dense_phases:
-                        out = jax.lax.dot_general(
-                            lhs_o, grid[:, bs:be], (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                        if pend is not None:
-                            epilogue(*pend)
-                        pend = (out, bs, be, _PAIR_OVERFLOW)
-                    epilogue(*pend)
+                    pipelined_dense(permute_lhs(bigs, sel), grid, epilogue_o)
 
         maxd = maxd_ref[:]
         return jnp.where(maxd > 0, 1.0 / jnp.where(maxd > 0, maxd, 1.0), 0.0)
@@ -801,42 +776,14 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         maxd_ref[:] = jnp.zeros((PB, p_pad), jnp.float32)
 
         for p in range(PB):
+            epilogue = make_epilogue(maxd_ref, p, chunk)
             for c in range(n_chunks):
 
                 @pl.when(chunk_live_ref[p * n_chunks + c] > 0)
                 def _():
-                    cs = pl.ds(c * chunk, chunk)
-                    his, los = [], []
-                    for g in range(N_FORMS):
-                        rows = jnp.concatenate(
-                            [form_refs[3 * g + k][p:p + 1, cs]
-                             for k in range(3)], axis=0)  # [3, chunk]
-                        hi, lo = _bf16_split(rows)
-                        his.append(hi)
-                        los.append(lo)
                     # [6, 3*chunk]: groups along M, lo correction along K
                     # (the MXU pads K=3 anyway — the lo pass is free)
-                    lhs = jnp.concatenate(
-                        [jnp.concatenate(his, axis=1),
-                         jnp.concatenate(los, axis=1)], axis=0)
-
-                    def epilogue(out, bs, be, p=p):
-                        w0 = out[0 * chunk:1 * chunk]
-                        w1 = out[1 * chunk:2 * chunk]
-                        d = out[2 * chunk:3 * chunk]
-                        # branch-free covered-depth candidate (see
-                        # _INSIDE_SCALE): equals d inside, <= 0 outside
-                        w2 = _INSIDE_C - (w0 + w1)
-                        cand = jnp.minimum(
-                            jnp.minimum(jnp.minimum(w0, w1), w2), d)
-                        maxd_ref[p:p + 1, bs:be] = jnp.maximum(
-                            maxd_ref[p:p + 1, bs:be],
-                            jnp.max(cand, axis=0, keepdims=True))
-
-                    def dot_band(bs, be):
-                        return jax.lax.dot_general(
-                            lhs, grid[:, bs:be], (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [3c, band]
+                    lhs = split_lhs(form_refs, p, pl.ds(c * chunk, chunk))
 
                     if band_cull:
                         for b, (bs, be) in enumerate(bands):
@@ -844,19 +791,13 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
                             @pl.when(band_live_ref[
                                 (p * n_chunks + c) * n_bands + b] > 0)
                             def _(bs=bs, be=be):
-                                epilogue(dot_band(bs, be), bs, be)
+                                out = jax.lax.dot_general(
+                                    lhs, grid[:, bs:be],
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                                epilogue(out, bs, be)
                     else:
-                        # dense path: issue the NEXT phase's MXU contraction
-                        # before the previous phase's VPU epilogue so the
-                        # scheduler can overlap the units (one dot would
-                        # serialize dot -> epilogue).
-                        pend = None
-                        for bs, be in dense_phases:
-                            out = dot_band(bs, be)
-                            if pend is not None:
-                                epilogue(*pend)
-                            pend = (out, bs, be)
-                        epilogue(*pend)
+                        pipelined_dense(lhs, grid, epilogue)
 
         maxd = maxd_ref[:]
         return jnp.where(maxd > 0, 1.0 / jnp.where(maxd > 0, maxd, 1.0), 0.0)
@@ -926,7 +867,7 @@ def _scratch_shapes(f_pad, n_chunks, p_pad, band_cull=True, compact=False,
     return shapes
 
 
-def _resolve_compact(compact, band_cull, f_pad):
+def _resolve_compact(compact, band_cull):
     """Auto policy: OFF. Measured on v5e at the flagship config (1280 faces,
     30x30, 200-vs-2000-repeat scanned slopes): dense 5.50 us/pose,
     compact 6.83 us/pose at cap=0.6*f_pad (7.15 at n=100), and the e2e bench
@@ -939,14 +880,17 @@ def _resolve_compact(compact, band_cull, f_pad):
     for meshes/configs where the live fraction is far below 0.6."""
     if compact is None:
         return False
-    return bool(compact) and not band_cull
+    if compact and band_cull:
+        raise ValueError("compact raster is exclusive with band_cull")
+    return bool(compact)
 
 
 def _resolve_paired(paired, band_cull, compact, n_chunks, f_pad, n_faces,
                     chunk):
     """The paired path needs antipodal_pair_faces layout (faces length
-    2*f_half, lane-aligned halves, A-chunk dividing the half) and is
-    exclusive with band culling / compaction."""
+    2*f_half, lane-aligned halves, A-chunk dividing the half, unrolled
+    regions within the cap) and is exclusive with band culling /
+    compaction."""
     if not paired:
         return False
     if band_cull or compact:
@@ -959,6 +903,15 @@ def _resolve_paired(paired, band_cull, compact, n_chunks, f_pad, n_faces,
             f"faces length {n_faces} must equal f_pad {f_pad}, have "
             f"{LANE}-aligned halves, and chunk {chunk} must divide the "
             f"half {f_half}")
+    regions = f_half // chunk + max(f_half // _PAIR_OVERFLOW, 1)
+    if regions > _MAX_REGIONS:
+        # Mosaic fully unrolls the region loops; a huge paired mesh would
+        # blow up compile time/code size the dense path avoids via its
+        # region cap. Mirror that cap here rather than compiling anyway.
+        raise ValueError(
+            f"paired raster would unroll {regions} regions "
+            f"(> {_MAX_REGIONS}); use the dense/spatial-sort path for "
+            f"meshes this large")
     return True
 
 
@@ -971,12 +924,15 @@ def _paired_chunk(n_pair, p_pad):
 def paired_layout_ok(n_faces, n_pix, chunk=None):
     """True when a mesh of ``n_faces`` can take the paired raster path at
     ``n_pix`` pixels: the unrolled region count (A-chunks + silhouette
-    overflow regions) must stay within the kernel's region cap."""
-    if chunk is not None:
-        return False
+    overflow regions) must stay within the kernel's region cap. With an
+    explicit ``chunk``, it must additionally divide the lane-aligned
+    half."""
     f_half = _round_up(max((n_faces + 1) // 2, 1), LANE)
-    chunk_a = _paired_chunk(2 * f_half, _round_up(n_pix, LANE))
-    regions = f_half // chunk_a + max(f_half // _PAIR_OVERFLOW, 1)
+    if chunk is None:
+        chunk = _paired_chunk(2 * f_half, _round_up(n_pix, LANE))
+    elif f_half % chunk != 0:
+        return False
+    regions = f_half // chunk + max(f_half // _PAIR_OVERFLOW, 1)
     return regions <= _MAX_REGIONS
 
 
@@ -1005,7 +961,7 @@ def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
     f_pad = _round_up(faces.shape[0], chunk)
     n_chunks = f_pad // chunk
 
-    compact = _resolve_compact(compact, band_cull, f_pad)
+    compact = _resolve_compact(compact, band_cull)
     paired = _resolve_paired(paired, band_cull, compact, n_chunks, f_pad,
                              faces.shape[0], chunk)
     tri_rows = expand_triangle_rows(verts, faces, f_pad)
@@ -1064,7 +1020,7 @@ def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
     f_pad = _round_up(faces.shape[0], chunk)
     n_chunks = f_pad // chunk
 
-    compact = _resolve_compact(compact, band_cull, f_pad)
+    compact = _resolve_compact(compact, band_cull)
     paired = _resolve_paired(paired, band_cull, compact, n_chunks, f_pad,
                              faces.shape[0], chunk)
     tri_rows = expand_triangle_rows(verts, faces, f_pad)

@@ -191,6 +191,11 @@ def test_compact_matches_dense(key):
     np.testing.assert_allclose(np.asarray(ell0), np.asarray(ell1), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(so0), np.asarray(so1), rtol=1e-4)
 
+    # conflicting opt-ins must fail loudly, not silently fall back to dense
+    with pytest.raises(ValueError):
+        pallas_render_depth(verts, faces, CAM, t, q, compact=True,
+                            band_cull=True)
+
 
 def test_paired_matches_dense(key):
     """The paired path (antipodal pair selection + silhouette overflow) must
@@ -244,16 +249,29 @@ def test_paired_matches_dense(key):
     np.testing.assert_allclose(np.asarray(so0), np.asarray(so2), rtol=1e-4)
 
     # layout gate: flagship + 50px-scale sizes fit (multi-chunk A region);
-    # only region-cap overflow (huge meshes) falls back; un-paired
-    # (lane-unaligned) face arrays and non-dividing chunks are rejected
+    # only region-cap overflow (huge meshes) falls back; explicit dividing
+    # chunks are accepted by the gate; un-paired (lane-unaligned) face
+    # arrays, non-dividing chunks, and over-cap meshes are rejected
     assert paired_layout_ok(1280, 900)
     assert paired_layout_ok(1280, 2500)
     assert paired_layout_ok(5000, 2500)
+    assert paired_layout_ok(1280, 2500, chunk=128)
+    assert not paired_layout_ok(1280, 2500, chunk=192)
     assert not paired_layout_ok(40000, 2500)
     with pytest.raises(ValueError):
         pallas_render_depth(v2, f2, CAM, t, q, paired=True)
     with pytest.raises(ValueError):
         pallas_render_depth(verts, fp, CAM, t, q, paired=True, chunk=192)
+    with pytest.raises(ValueError):  # over the unrolled-region cap
+        big = jnp.zeros((3, 3), jnp.float32)
+        pallas_render_depth(big, jnp.zeros((40960, 3), jnp.int32), CAM, t, q,
+                            paired=True)
+
+    # empty mesh: the pairing preprocessing must produce the degenerate
+    # padded layout, not crash on the empty fancy index
+    fe = antipodal_pair_faces(jnp.zeros((0, 3), jnp.float32),
+                              jnp.zeros((0, 3), jnp.int32))
+    assert fe.shape[0] % 256 == 0 and int(jnp.sum(fe)) == 0
 
 
 def test_spatial_sort_is_permutation(key):
