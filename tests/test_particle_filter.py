@@ -86,6 +86,49 @@ def test_pf_tracks_motion(pf, key):
     assert np.median(err) < 0.02, f"median error {np.median(err)}"
 
 
+def test_pf_likelihood_is_rotation_sensitive():
+    """The tracker's likelihood must actually observe ORIENTATION at its
+    operating point. This is the property whose absence made the round-2
+    tracking benchmark vacuous: an object covering ~0.5% of the frame under
+    SimpleImageRegularization (c_reg effective pixels for the WHOLE image,
+    Models.jl:81-87 parity) gives a rotation-flat likelihood, and the
+    filter coasts on its motion prior while still reporting mm-level
+    translation 'tracking'. Scene mirrors scripts/ros_particle_filter.py's
+    synthetic stream: object filling a meaningful image fraction over a
+    valid-depth background plane."""
+    from bayesianposeestimation.jl_tpu.models.particle_filter import (
+        fused_pf_posterior)
+    from bayesianposeestimation.jl_tpu.ops.rasterize import render_depth
+
+    mesh = cube_mesh(0.12)
+    w, h = 32, 24
+    cam = CvCamera(width=w, height=h, f_x=1.1 * w, f_y=1.1 * w,
+                   c_x=(w - 1) / 2, c_y=(h - 1) / 2, near=0.01, far=10.0)
+    gt_t = jnp.array([0.0, 0.0, 0.35])
+    gt_q = jnp.asarray(quat.qexp(jnp.array([0.2, 0.3, 0.1])))
+    clean = render_depth(jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces),
+                         cam, gt_t, gt_q, height=h, width=w)
+    obs = jnp.where(clean > 0, clean, 0.9)  # background plane, all valid
+    assert float((clean > 0).mean()) > 0.1  # object covers >10% of frame
+
+    params = Parameters(width=w, height=h, n_particles=8, raster_chunk=64)
+    scene = {"camera": cam, "verts": jnp.asarray(mesh.vertices),
+             "faces": jnp.asarray(mesh.faces)}
+    exp = Experiment(scene=scene, prior_o=params.o_mask_is, prior_t=gt_t,
+                     prior_r=gt_q, depth_image=obs)
+    post = fused_pf_posterior("simple")(params, exp)
+    angs = jnp.array([0.0, 0.0, 0.0, 0.0, 0.5, 1.0, 1.5, 3.0])
+    qs = jax.vmap(lambda a: quat.qmul(gt_q, quat.qexp(jnp.array([a / 2, 0.0, 0.0]))))(angs)
+    s = Sample({"t": jnp.tile(gt_t, (8, 1)), "r": qs,
+                "t_dot": jnp.zeros((8, 3)), "r_dot": jnp.zeros((8, 3))})
+    ll = np.asarray(post.logdensity_sample(s, batch_ndim=1).log_like)
+    # gt orientation must beat a 57 deg offset by a usable margin (enough
+    # to re-weight a particle cloud within a few frames), monotone-ish out
+    # to 172 deg
+    assert ll[0] - ll[4] > 1.0, f"57deg margin too small: {ll}"
+    assert ll[0] - ll[7] > 2.0, f"172deg margin too small: {ll}"
+
+
 def test_resize_experiment():
     mesh, cam, depth, gt_t, gt_q = _stream()
     scene = {"camera": cam, "verts": jnp.asarray(mesh.vertices),
