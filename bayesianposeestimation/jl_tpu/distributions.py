@@ -23,6 +23,7 @@ evaluate to -inf there, which the mixtures handle in log-space without NaNs.
 from __future__ import annotations
 
 import dataclasses
+import math
 from dataclasses import dataclass
 from typing import Any
 
@@ -425,7 +426,10 @@ class BinaryMixture:
 # --------------------------------------------------------------------------- #
 
 # Surface area of the unit 3-sphere; uniform density w.r.t. the S^3 measure.
-_LOG_SURFACE_S3 = float(jnp.log(2.0 * jnp.pi**2))
+# math.log, NOT jnp.log: a jnp op here would initialize the device backend at
+# package import, turning a wedged TPU tunnel into an import-time hang for
+# every entry point (bench, host-only scripts). See tests/test_import_hostonly.py.
+_LOG_SURFACE_S3 = math.log(2.0 * math.pi**2)
 
 
 @dataclass(frozen=True)

@@ -8,10 +8,19 @@ reports hypotheses/sec. Baseline: the reference's implied throughput is
 ~10^4-10^5 hypotheses/s/GPU (BASELINE.md); vs_baseline is computed against
 1e5/s (the north-star floor).
 
-Prints exactly one JSON line.
+Wedge resilience: the axon TPU tunnel wedges for 10-60+ min stretches
+(fresh processes block inside jax init or raise UNAVAILABLE, and it flaps).
+The measurement therefore runs in a CHILD process under a timeout; the
+parent retries with sleeps and prints the one JSON line from the first
+successful attempt. Importing this module performs no device work.
+
+Prints exactly one JSON line on success (rc 0); rc 1 only if every attempt
+inside the retry budget failed.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -19,6 +28,13 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 BASELINE_HYP_PER_SEC = 1.0e5
+
+# Retry policy (CLAUDE.md wedge recipe): bounded total wall budget, child
+# timeout long enough for compile (~40s) + 5 trials, sleeps between attempts.
+# Env-overridable for tests.
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", 4200.0))
+CHILD_TIMEOUT_S = float(os.environ.get("BENCH_CHILD_TIMEOUT_S", 900.0))
+RETRY_SLEEP_S = float(os.environ.get("BENCH_RETRY_SLEEP_S", 120.0))
 
 
 def clean_window_dispatch_ms(jax, jnp):
@@ -33,10 +49,17 @@ def clean_window_dispatch_ms(jax, jnp):
     return (time.perf_counter() - t0) / 10 * 1e3
 
 
-def main():
+def measure():
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    # Refuse to silently fall back to CPU if the axon tunnel flaps: the
+    # headline is a per-chip TPU number (allow explicit CPU for smoke tests).
+    dev = jax.devices()[0]
+    if os.environ.get("BENCH_ALLOW_CPU") != "1":
+        kind = f"{dev.platform} {getattr(dev, 'device_kind', '')}".lower()
+        assert "tpu" in kind, f"expected a TPU device, got {dev!r}"
 
     from bayesianposeestimation.jl_tpu import quaternions as quat
     from bayesianposeestimation.jl_tpu.camera import CvCamera, crop_camera
@@ -81,7 +104,7 @@ def main():
     trials = 0
     while trials < 5:
         t0 = time.perf_counter()
-        outs = run()
+        run()
         dt = time.perf_counter() - t0
         best_dt = min(best_dt, dt)
         trials += 1
@@ -98,5 +121,43 @@ def main():
     }))
 
 
+def main():
+    deadline = time.monotonic() + TOTAL_BUDGET_S
+    attempt = 0
+    last_err = ""
+    while time.monotonic() < deadline:
+        attempt += 1
+        budget = max(1.0, min(CHILD_TIMEOUT_S, deadline - time.monotonic()))
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--child"],
+                capture_output=True, text=True, timeout=budget,
+                env=dict(os.environ), cwd=str(Path(__file__).resolve().parent),
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {attempt}: child timed out after {budget:.0f}s (tunnel wedge?)"
+            print(last_err, file=sys.stderr)
+        else:
+            line = next((ln for ln in reversed(proc.stdout.splitlines())
+                         if ln.startswith("{")), None)
+            if proc.returncode == 0 and line is not None:
+                print(line)
+                return 0
+            last_err = (f"attempt {attempt}: rc={proc.returncode}\n"
+                        + proc.stderr[-1500:])
+            print(last_err, file=sys.stderr)
+        if time.monotonic() + RETRY_SLEEP_S + 60.0 >= deadline:
+            break
+        print(f"retrying in {RETRY_SLEEP_S:.0f}s "
+              f"({deadline - time.monotonic():.0f}s left in budget)", file=sys.stderr)
+        time.sleep(RETRY_SLEEP_S)
+    print(f"bench: all attempts failed within {TOTAL_BUDGET_S:.0f}s budget; last:\n"
+          f"{last_err}", file=sys.stderr)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv[1:]:
+        measure()
+    else:
+        sys.exit(main())
