@@ -243,15 +243,22 @@ def camera_for_row(row, width=None, height=None, near=0.01, far=10.0) -> CvCamer
 # --------------------------------------------------------------------------- #
 
 
-def _parse_mixed_faces(buf: bytes, n_faces: int) -> np.ndarray:
+_STRUCT_FMT = {"u1": "B", "u2": "H", "u4": "I", "i1": "b", "i2": "h", "i4": "i"}
+
+
+def _parse_mixed_faces(buf: bytes, n_faces: int, count_np="u1", index_np="i4") -> np.ndarray:
     """Slow path: variable-vertex-count polygon list, fan-triangulated."""
     faces = []
     off = 0
+    count_fmt = _STRUCT_FMT[count_np]
+    count_size = int(count_np[1])
+    index_fmt = _STRUCT_FMT[index_np]
+    index_size = int(index_np[1])
     for _ in range(n_faces):
-        k = buf[off]
-        off += 1
-        idx = struct.unpack_from(f"<{k}i", buf, off)
-        off += 4 * k
+        (k,) = struct.unpack_from("<" + count_fmt, buf, off)
+        off += count_size
+        idx = struct.unpack_from(f"<{k}{index_fmt}", buf, off)
+        off += index_size * k
         for i in range(1, k - 1):
             faces.append([idx[0], idx[i], idx[i + 1]])
     return np.asarray(faces, np.int32)
@@ -266,23 +273,36 @@ def load_ply(path, scale=MM_TO_M) -> mesh_io.Mesh:
         fmt = None
         n_verts = n_faces = 0
         vert_props = []
-        in_vertex = False
+        face_list_types = ("uchar", "int")  # BOP-toolkit default
+        element = None
         while True:
             line = fh.readline().decode("ascii").strip()
             if line.startswith("format"):
                 fmt = line.split()[1]
             elif line.startswith("element vertex"):
                 n_verts = int(line.split()[-1])
-                in_vertex = True
+                element = "vertex"
             elif line.startswith("element face"):
                 n_faces = int(line.split()[-1])
-                in_vertex = False
-            elif line.startswith("property") and in_vertex:
+                element = "face"
+            elif line.startswith("element"):
+                element = "other"
+            elif line.startswith("property") and element == "vertex":
                 parts = line.split()
                 vert_props.append((parts[-1], parts[1]))
+            elif line.startswith("property list") and element == "face":
+                # "property list <count_t> <index_t> vertex_indices" — honor
+                # the declared types; assuming uchar+int silently misparses
+                # int-count flavors (k reads the count's low byte).
+                parts = line.split()
+                face_list_types = (parts[2], parts[3])
             elif line == "end_header":
                 break
 
+        if fmt not in ("ascii", "binary_little_endian"):
+            # refuse rather than silently misparse big-endian bytes with
+            # little-endian dtypes (BOP ships little-endian only)
+            raise ValueError(f"unsupported PLY format {fmt!r} in {path}")
         type_map = {"float": "f4", "float32": "f4", "double": "f8",
                     "uchar": "u1", "uint8": "u1", "int": "i4", "int32": "i4",
                     "uint": "u4", "short": "i2", "ushort": "u2"}
@@ -306,18 +326,20 @@ def load_ply(path, scale=MM_TO_M) -> mesh_io.Mesh:
             rec = np.frombuffer(raw, dtype=dtype, count=n_verts)
             v = np.stack([rec["x"], rec["y"], rec["z"]], axis=1).astype(np.float32)
             face_raw = fh.read()
-            # fast path: all-triangle face list parses as fixed (u1 + 3*i4)
+            count_np = type_map[face_list_types[0]]
+            index_np = type_map[face_list_types[1]]
+            # fast path: all-triangle face list parses as fixed (count + 3*idx)
             # records in one vectorized pass (BOP models have 10^4-10^6
             # faces; the per-face struct.unpack loop took seconds)
-            tri_dtype = np.dtype([("k", "u1"), ("idx", "<i4", (3,))])
+            tri_dtype = np.dtype([("k", "<" + count_np), ("idx", "<" + index_np, (3,))])
             if len(face_raw) >= n_faces * tri_dtype.itemsize:
                 tris = np.frombuffer(face_raw, dtype=tri_dtype, count=n_faces)
                 if np.all(tris["k"] == 3):
-                    f = np.ascontiguousarray(tris["idx"], np.int32)
+                    f = np.ascontiguousarray(tris["idx"]).astype(np.int32)
                 else:
-                    f = _parse_mixed_faces(face_raw, n_faces)
+                    f = _parse_mixed_faces(face_raw, n_faces, count_np, index_np)
             else:
-                f = _parse_mixed_faces(face_raw, n_faces)
+                f = _parse_mixed_faces(face_raw, n_faces, count_np, index_np)
     return mesh_io.Mesh(v * scale, f)
 
 
