@@ -25,6 +25,7 @@ __all__ = [
     "plot_logprob",
     "plot_logevidence",
     "plot_recall_curves",
+    "plot_recall_vs_visibility",
 ]
 
 
@@ -211,6 +212,26 @@ def plot_recall_curves(errors_by_label, theta_marker=None, theta_range=None, tit
     ax.set_xlabel("error threshold")
     ax.set_ylabel("recall")
     ax.set_ylim(0, 1)
+    ax.set_title(title)
+    ax.legend()
+    return fig
+
+
+def plot_recall_vs_visibility(visib_df, title="VSD recall vs visibility"):
+    """Recall per visibility bin with CI error bars, one line per sampler.
+    ``visib_df``: DataFrame with sampler, visib_lo, visib_hi, vsd_recall,
+    ci_lo, ci_hi, n_gt (the recall_vs_visibility.csv schema)."""
+    plt = _plt()
+    fig, ax = plt.subplots()
+    for label, grp in visib_df.groupby("sampler"):
+        grp = grp.sort_values("visib_lo")
+        x = (grp.visib_lo + grp.visib_hi) / 2
+        yerr = np.stack([grp.vsd_recall - grp.ci_lo, grp.ci_hi - grp.vsd_recall])
+        ax.errorbar(x, grp.vsd_recall, yerr=yerr, marker="o", capsize=3,
+                    label=label)
+    ax.set_xlabel("visibility fraction")
+    ax.set_ylabel("VSD recall")
+    ax.set_ylim(0, 1.02)
     ax.set_title(title)
     ax.legend()
     return fig

@@ -27,10 +27,19 @@ Usage:
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# the axon sitecustomize force-sets jax_platforms="axon,cpu"; honor an
+# explicit JAX_PLATFORMS choice (generation is feasible on CPU for the small
+# easy/hard meshes when the TPU tunnel is wedged)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 # Static solo-render window (px): big enough for every object at its nearest
 # sampled distance; one compiled render program per mesh regardless of where
@@ -197,6 +206,17 @@ def main():
     ap.add_argument("--n-scenes", type=int, default=None)
     ap.add_argument("--n-images", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--scene-offset", type=int, default=0,
+                    help="first scene id minus 1 — append scenes to an "
+                         "existing split without regenerating it (pass a "
+                         "fresh --seed or the new scenes repeat the old "
+                         "draws)")
+    ap.add_argument("--visib-targets", type=float, nargs="+", default=[0.45],
+                    help="hard profile: per-image target visibility of the "
+                         "rear instance, cycled over images — a sweep like "
+                         "0.15 0.25 0.35 0.45 0.55 makes the hard split a "
+                         "recall-vs-visibility measurement instead of a "
+                         "single pinned point")
     ap.add_argument("--multi-instance", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="two partially-occluding instances on even images")
@@ -258,7 +278,8 @@ def main():
                    for m in clutter_lib]
 
     targets = []
-    for scene_id in range(1, args.n_scenes + 1):
+    for scene_id in range(args.scene_offset + 1,
+                          args.scene_offset + args.n_scenes + 1):
         sdir = split_dir / f"{scene_id:06d}"
         (sdir / "depth").mkdir(parents=True, exist_ok=True)
         (sdir / "mask_visib").mkdir(exist_ok=True)
@@ -295,19 +316,22 @@ def main():
 
             if hard:
                 # deterministic search: lateral offset of the rear sphere so
-                # its visibility lands nearest the pinned ~0.45 (the regime
-                # where the occluder's mode out-scores the true one)
+                # its visibility lands nearest this image's target (default
+                # the pinned ~0.45 — the regime where the occluder's mode
+                # out-scores the true one; a sweep covers 0.15-0.6)
+                target_visib = args.visib_targets[img_id % len(args.visib_targets)]
                 front = solo(inst_t[0], inst_q[0])
                 side = rng.choice([-1, 1])
                 behind = 0.45 * diam
                 best = None
-                for lat in (0.30, 0.34, 0.38, 0.42, 0.46):
+                for lat in np.arange(0.02, 0.64, 0.04):
                     t_rear = base_t + np.asarray([side * lat * diam, 0.0, behind])
                     rear = solo(t_rear, inst_q[1])
                     rendered = np.isfinite(rear)
                     vis = rendered & (rear <= np.minimum(front, rear) + 1e-3)
                     visib = vis.sum() / max(rendered.sum(), 1)
-                    if best is None or abs(visib - 0.45) < abs(best[0] - 0.45):
+                    if best is None or abs(visib - target_visib) < abs(
+                            best[0] - target_visib):
                         best = (visib, t_rear, rear)
                 inst_t[1] = best[1]
                 solos = [front, best[2]]

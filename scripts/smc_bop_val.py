@@ -315,29 +315,60 @@ def main():
             filename=savename(config))
         all_errors.setdefault(config["sampler"], []).append(errors)
 
-    # recall aggregation per sampler (parity: evaluate_recalls)
+    # recall aggregation per sampler (parity: evaluate_recalls), with
+    # Wilson 95% CIs — the synthetic sets have O(10^2) gts, so sampler
+    # separations are only findings when the intervals say so.
     rows = []
+    visib_rows = []
     recall_curves_adds = {}
     recall_curves_vsd = {}
     for sampler_name, errs in all_errors.items():
         adds = np.concatenate([e["adds"] for e in errs])
         vsd = np.concatenate([e["vsd"] for e in errs])
         vsdbop = np.concatenate([e["vsdbop"] for e in errs])
-        adds_rec = ev.recall(*ev.threshold_errors(adds, ev.ADDS_THETA))
-        vsd_rec = ev.recall(*ev.threshold_errors(vsd, ev.BOP18_THETA))
-        vsdbop_rec = ev.recall(*ev.threshold_errors(vsdbop, np.asarray(ev.BOP19_THRESHOLDS)))
+        n_adds = ev.threshold_errors(adds, ev.ADDS_THETA)
+        n_vsd = ev.threshold_errors(vsd, ev.BOP18_THETA)
+        n_vsdbop = ev.threshold_errors(vsdbop, np.asarray(ev.BOP19_THRESHOLDS))
+        adds_rec, vsd_rec, vsdbop_rec = (ev.recall(*n_adds), ev.recall(*n_vsd),
+                                         ev.recall(*n_vsdbop))
+        vsd_lo, vsd_hi = ev.recall_ci(*n_vsd)
+        adds_lo, adds_hi = ev.recall_ci(*n_adds)
         rows.append(dict(sampler=sampler_name, adds_recall=adds_rec,
-                         vsd_recall=vsd_rec, vsdbop_recall=vsdbop_rec))
+                         vsd_recall=vsd_rec, vsdbop_recall=vsdbop_rec,
+                         n_gt=n_vsd[1],
+                         adds_ci_lo=adds_lo, adds_ci_hi=adds_hi,
+                         vsd_ci_lo=vsd_lo, vsd_ci_hi=vsd_hi))
         recall_curves_adds[sampler_name] = adds
         recall_curves_vsd[sampler_name] = vsd
-        print(f"{sampler_name}: ADDS recall {adds_rec:.3f}, VSD recall {vsd_rec:.3f}, "
+        print(f"{sampler_name}: ADDS recall {adds_rec:.3f} "
+              f"[{adds_lo:.3f},{adds_hi:.3f}], VSD recall {vsd_rec:.3f} "
+              f"[{vsd_lo:.3f},{vsd_hi:.3f}] (n={n_vsd[1]}), "
               f"VSDBOP recall {vsdbop_rec:.3f}")
+
+        # recall vs visibility (the reference's visib_fract >= 0.1 boundary
+        # implies the 0.1-0.6 range is where occlusion robustness lives)
+        visib = np.concatenate([e.get("visib", np.ones(len(e["vsd"])))
+                                for e in errs])
+        bins = [(0.1, 0.3), (0.3, 0.5), (0.5, 0.7), (0.7, 0.9), (0.9, 1.01)]
+        for lo, hi in bins:
+            sel = (visib >= lo) & (visib < hi)
+            if not sel.any():
+                continue
+            nc, nt = ev.threshold_errors(vsd[sel], ev.BOP18_THETA)
+            ci = ev.recall_ci(nc, nt)
+            visib_rows.append(dict(sampler=sampler_name, visib_lo=lo,
+                                   visib_hi=min(hi, 1.0), n_gt=nt,
+                                   vsd_recall=ev.recall(nc, nt),
+                                   ci_lo=ci[0], ci_hi=ci[1]))
 
     import pandas as pd
 
     out_dir = datadir("exp_pro", args.experiment_name)
     out_dir.mkdir(parents=True, exist_ok=True)
     pd.DataFrame(rows).to_csv(out_dir / "sampler_recall.csv", index=False)
+    if visib_rows:
+        pd.DataFrame(visib_rows).to_csv(out_dir / "recall_vs_visibility.csv",
+                                        index=False)
 
     diss_defaults()
     Path("plots").mkdir(exist_ok=True)
@@ -345,6 +376,13 @@ def main():
     fig.savefig(f"plots/{args.experiment_name}_adds_recall.pdf")
     fig = plot_recall_curves(recall_curves_vsd, ev.BOP18_THETA, title="VSD")
     fig.savefig(f"plots/{args.experiment_name}_vsd_recall.pdf")
+    if visib_rows:
+        from bayesianposeestimation.jl_tpu.utils.visualization import (
+            plot_recall_vs_visibility,
+        )
+
+        fig = plot_recall_vs_visibility(pd.DataFrame(visib_rows))
+        fig.savefig(f"plots/{args.experiment_name}_recall_vs_visibility.pdf")
     print(f"wrote {out_dir/'sampler_recall.csv'} and plots/")
 
 

@@ -327,3 +327,50 @@ def test_match_scene_errors_visib_filter():
     matched = ev.match_scene_errors(rows, errors_fn)
     assert matched["adds"].shape == (1,)
     assert matched["vsdbop"].shape == (1, len(ev.BOP19_THRESHOLDS))
+
+
+def test_recall_ci_wilson():
+    """Wilson 95% interval: symmetric-ish in the middle, shrinks with n,
+    sane at the boundaries where Wald degenerates."""
+    lo, hi = ev.recall_ci(90, 100)
+    assert lo < 0.9 < hi and hi - lo < 0.14
+    lo68, hi68 = ev.recall_ci(61, 68)  # the round-3 headline sample size
+    assert hi68 - lo68 > 0.13  # the interval IS the story at n=68
+    # perfect recall: lower bound well below 1 for small n
+    lo_p, hi_p = ev.recall_ci(12, 12)
+    assert hi_p == 1.0 and lo_p < 0.78
+    assert ev.recall_ci(0, 0) == (0.0, 0.0)
+    # more data -> tighter interval
+    lo_big, hi_big = ev.recall_ci(900, 1000)
+    assert hi_big - lo_big < (hi - lo) / 2
+
+
+def test_match_scene_errors_visib_aligned():
+    """The returned per-gt visib array lines up with the error arrays,
+    including the inf-padded estimate-less gts (feeds recall-vs-visibility)."""
+
+    def est(img_id, gt_id, score):
+        return dict(scene_id=1, img_id=img_id, obj_id=1, gt_id=gt_id,
+                    t=[0, 0, 1], q=[1, 0, 0, 0], score=score,
+                    gt_t=None, gt_R=None, visib_fract=1.0)
+
+    def gt(img_id, gt_id, visib):
+        return dict(scene_id=1, img_id=img_id, obj_id=1, gt_id=gt_id,
+                    gt_t=[0, 0, 1], gt_R=np.eye(3), visib_fract=visib)
+
+    # img 0: two gts (visib 0.9, 0.3), one estimate that matches gt 0;
+    # img 1: one gt at visib 0.5 with no estimate (inf row)
+    ests = [est(0, 0, 5.0)]
+    gts = [gt(0, 0, 0.9), gt(0, 1, 0.3), gt(1, 0, 0.5)]
+
+    def errors_fn(e_rows, gt_rows):
+        mat = np.full((len(e_rows), len(gt_rows)), 0.9)
+        mat[0, 0] = 0.02
+        return {"vsd": mat}
+
+    m = ev.match_scene_errors(ests, errors_fn, gt_rows=gts)
+    assert m["vsd"].shape == m["visib"].shape == (3,)
+    by_visib = dict(zip(m["visib"].round(2), m["vsd"]))
+    assert by_visib[0.9] == pytest.approx(0.02)   # matched
+    assert np.isinf(by_visib[0.3])                # unmatched in-group
+    assert np.isinf(by_visib[0.5])                # estimate-less group
