@@ -64,6 +64,10 @@ def slope_time(fn, t, q, reps=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1600)
+    ap.add_argument("--crop", type=int, default=None,
+                    help="profile the raster-path decision matrix at this "
+                         "crop side only (e.g. 50 — VERDICT r3 weak #4: "
+                         "where does the 50 px config lose?)")
     args = ap.parse_args()
 
     import jax
@@ -100,6 +104,46 @@ def main():
     q = quat.qnormalize(jax.random.normal(jax.random.PRNGKey(1), (n, 4)))
     verts, faces = jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces)
     z_img = jnp.ones((30, 30))
+
+    if args.crop:
+        from bayesianposeestimation.jl_tpu.ops.pallas_raster import (
+            antipodal_pair_faces,
+            spatial_sort_faces,
+        )
+
+        side = args.crop
+        cam2 = CvCamera(width=side, height=side, f_x=1.2 * side, f_y=1.2 * side,
+                        c_x=(side - 1) / 2, c_y=(side - 1) / 2)
+        z2 = jnp.ones((side, side))
+        paired_faces = antipodal_pair_faces(verts, faces)
+        f_half = paired_faces.shape[0] // 2
+
+        def cfg(f2, **kw):
+            def fn(t, q):
+                return pallas_render_score(verts, f2, cam2, t, q, z2, 0.7,
+                                           score_fn, **kw)
+            return fn
+
+        print(f"\nraster-path decision matrix at {side}x{side}, 1280 faces, "
+              f"n={n} (us/pose):")
+        rows = [("paired, auto chunk", cfg(paired_faces, paired=True))]
+        for c in (128, 320, 640):
+            if f_half % c == 0:
+                rows.append((f"paired, chunk {c}",
+                             cfg(paired_faces, paired=True, chunk=c)))
+        sorted_faces = spatial_sort_faces(verts, faces)
+        rows += [
+            ("dense, auto chunk", cfg(sorted_faces)),
+            ("dense + band_cull", cfg(sorted_faces, band_cull=True)),
+            ("dense + compact", cfg(sorted_faces, compact=True)),
+        ]
+        for label, fn in rows:
+            try:
+                tt = slope_time(fn, t, q)
+                print(f"  {label:24s}: {tt/n*1e6:7.2f}")
+            except Exception as e:
+                print(f"  {label:24s}: FAILED ({type(e).__name__}: {e})")
+        return
 
     def fused(v2, f2, cam2, z2, chunk=None):
         def fn(t, q):

@@ -60,11 +60,14 @@ def main():
             lambda c: evaluate_scene(c, args.bop_dir, parameters, result["result_rows"]),
             config, datadir("exp_pro", args.experiment_name, "errors"),
             filename=savename(config))
-        vsd_rec = ev.recall(*ev.threshold_errors(errors["vsd"], ev.BOP18_THETA))
+        n_vsd = ev.threshold_errors(errors["vsd"], ev.BOP18_THETA)
+        vsd_rec = ev.recall(*n_vsd)
+        vsd_lo, vsd_hi = ev.recall_ci(*n_vsd)
         adds_rec = ev.recall(*ev.threshold_errors(errors["adds"], ev.ADDS_THETA))
         mean_time = float(np.mean([r["time"] for r in result["result_rows"]]))
         rows.append(dict(**{k: v for k, v in config.items() if k != "dataset"},
                          vsd_recall=vsd_rec, adds_recall=adds_rec,
+                         n_gt=n_vsd[1], vsd_ci_lo=vsd_lo, vsd_ci_hi=vsd_hi,
                          mean_pose_time=mean_time,
                          budget_ok=bool(mean_time <= 1.05 * config["pose_time"])))
         if not rows[-1]["budget_ok"]:

@@ -56,7 +56,7 @@ for r in rows:
             else:
                 print("MISSING (already invalidated?)", f)
 EOF
-  retry budget 3000 3 -- python scripts/smc_benchmark.py --scenes 1 &&
+  retry budget 6000 3 -- python scripts/smc_benchmark.py --scenes 1 &&
   retry budget_test 600 1 -- python -m pytest tests/test_artifact_budgets.py -q
 }
 
@@ -79,8 +79,12 @@ step_hyperopt() {
 }
 
 step_cadval() {
+  # invalidate the cached scene results first: the cache key does NOT
+  # include the tuned parameters, so after a hyperopt update the old
+  # scenes would silently replay results computed with stale parameters
+  rm -rf data/exp_raw/smc_bop_cad data/exp_pro/smc_bop_cad/errors
   local scenes; scenes=$(ls data/bop/synthcad/val | sed 's/^0*//' | tr '\n' ' ')
-  retry cadval 9000 3 -- python scripts/smc_bop_val.py --dataset synthcad \
+  retry cadval 9000 4 -- python scripts/smc_bop_val.py --dataset synthcad \
     --testset val --scenes $scenes --samplers smc_mh mh_sampler mtm_sampler \
     --experiment-name smc_bop_cad
 }
