@@ -69,9 +69,9 @@ def main():
                          vsd_recall=vsd_rec, adds_recall=adds_rec,
                          n_gt=n_vsd[1], vsd_ci_lo=vsd_lo, vsd_ci_hi=vsd_hi,
                          mean_pose_time=mean_time,
-                         budget_ok=bool(mean_time <= 1.05 * config["pose_time"])))
+                         budget_ok=bool(mean_time <= config["pose_time"])))
         if not rows[-1]["budget_ok"]:
-            print(f"  WARN mean_pose_time {mean_time:.3f}s exceeds 1.05x "
+            print(f"  WARN mean_pose_time {mean_time:.3f}s exceeds "
                   f"budget {config['pose_time']}s")
         print(f"  -> VSD recall {vsd_rec:.3f}, ADDS recall {adds_rec:.3f}")
 

@@ -87,8 +87,8 @@ def scene_inference(config, bop_dir, parameters):
     n_chains = 1 if is_mcmc else parameters.n_particles
 
     rows = []
-    calibrated_steps = step_time = None
-    runners = {}  # one compiled chain per object (mesh shape)
+    first_steps = first_step_time = None
+    runners = {}  # one compiled + calibrated chain per object (mesh shape)
     for _, row in df.iterrows():
         depth_img, mask_img, mesh = load_img_mesh(row, parameters)
         diameter = bop.model_diameter(row)
@@ -114,38 +114,80 @@ def scene_inference(config, bop_dir, parameters):
             mask_crop = crop_image(full_mask, full_cam, cam)
             prior_o = np.where(mask_crop, parameters.o_mask_is, parameters.o_mask_not)
 
-        if calibrated_steps is None:
+        obj_key = (int(row.obj_id), mesh.n_faces)
+        if obj_key not in runners:
+            # Calibrate PER OBJECT: step time scales with the mesh (face
+            # count / silhouette area), so a single first-object calibration
+            # under-budgets every larger mesh in the scene — the r3/r4
+            # short-budget overshoots were exactly this. Parity: the
+            # reference likewise converts a measured step time into a step
+            # count before the timed run (smc_bop_val.jl:135-140).
             scene = {"camera": cam, "verts": jnp.asarray(mesh.vertices),
                      "faces": jnp.asarray(mesh.faces)}
-            experiment = Experiment(scene=scene, prior_o=jnp.asarray(prior_o, jnp.float32),
-                                    prior_t=jnp.asarray(prior_t),
-                                    depth_image=jnp.asarray(obs))
+            experiment = Experiment(
+                scene=scene, prior_o=jnp.asarray(prior_o, jnp.float32),
+                prior_t=jnp.asarray(prior_t), depth_image=jnp.asarray(obs))
             posterior = fused_posterior(parameters, experiment, variant)
             probe = sampler_factory(parameters, posterior)
             step_time, overhead = mean_step_time(key, posterior, probe,
                                                  n_chains, max_seconds=0.5,
                                                  return_overhead=True)
             if fixed_steps:
-                calibrated_steps = parameters.n_steps
+                n_steps_obj = parameters.n_steps
             else:
-                calibrated_steps = steps_for_time_budget(
+                n_steps_obj = steps_for_time_budget(
                     step_time, parameters.time_budget, overhead=overhead)
-            print(f"  step time {step_time*1e3:.2f} ms (+{overhead*1e3:.0f} ms "
-                  f"dispatch) -> {calibrated_steps} steps per "
-                  f"{parameters.time_budget}s budget")
-
-        obj_key = (int(row.obj_id), mesh.n_faces)
-        if obj_key not in runners:
-            params_run = parameters.replace(n_steps=calibrated_steps)
-            runners[obj_key] = make_conditioned_chain(
+            print(f"  obj {obj_key[0]} step time {step_time*1e3:.2f} ms "
+                  f"(+{overhead*1e3:.0f} ms dispatch) -> {n_steps_obj} "
+                  f"steps per {parameters.time_budget}s budget")
+            params_run = parameters.replace(n_steps=n_steps_obj)
+            run_fn = make_conditioned_chain(
                 params_run, mesh.vertices, mesh.faces, variant,
-                sampler_factory, calibrated_steps, n_chains=n_chains)
+                sampler_factory, n_steps_obj, n_chains=n_chains)
             # explicit warm-up: compile OUTSIDE the timed region (the
             # reference excludes precompilation, smc_bop_val.jl:134-136)
-            warm = runners[obj_key](jax.random.PRNGKey(0), cam, jnp.asarray(obs),
-                                    jnp.asarray(prior_o, jnp.float32),
-                                    jnp.asarray(prior_t))
+            warm = run_fn(jax.random.PRNGKey(0), cam, jnp.asarray(obs),
+                          jnp.asarray(prior_o, jnp.float32),
+                          jnp.asarray(prior_t))
             jax.block_until_ready(warm)
+            if not fixed_steps:
+                # Feedback pass: the realized per-call overhead (dispatch,
+                # output transfer, tunnel tail latency) is only observable
+                # on the real compiled runner — the calibration probe's
+                # overhead estimate under-measures it by tens of ms when
+                # the tunnel is slow. If the measured wall at the
+                # calibrated step count overshoots the budget, re-derive
+                # the count from the realized overhead and rebuild once.
+                reps = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    w = run_fn(jax.random.PRNGKey(1), cam, jnp.asarray(obs),
+                               jnp.asarray(prior_o, jnp.float32),
+                               jnp.asarray(prior_t))
+                    jax.block_until_ready(w)
+                    reps.append(time.perf_counter() - t0)
+                wall_probe = float(np.mean(reps))
+                if wall_probe > parameters.time_budget:
+                    o_real = max(wall_probe - n_steps_obj * step_time, 0.0)
+                    n_new = steps_for_time_budget(
+                        step_time, parameters.time_budget, overhead=o_real)
+                    if n_new < n_steps_obj:
+                        print(f"  obj {obj_key[0]} realized wall "
+                              f"{wall_probe*1e3:.0f} ms > budget; overhead "
+                              f"{o_real*1e3:.0f} ms -> rebuild at {n_new} steps")
+                        n_steps_obj = n_new
+                        params_run = parameters.replace(n_steps=n_steps_obj)
+                        run_fn = make_conditioned_chain(
+                            params_run, mesh.vertices, mesh.faces, variant,
+                            sampler_factory, n_steps_obj, n_chains=n_chains)
+                        warm = run_fn(jax.random.PRNGKey(0), cam,
+                                      jnp.asarray(obs),
+                                      jnp.asarray(prior_o, jnp.float32),
+                                      jnp.asarray(prior_t))
+                        jax.block_until_ready(warm)
+            if first_steps is None:
+                first_steps, first_step_time = n_steps_obj, step_time
+            runners[obj_key] = run_fn
         run = runners[obj_key]
 
         key, k_run = jax.random.split(key)
@@ -180,8 +222,8 @@ def scene_inference(config, bop_dir, parameters):
         ))
         print(f"  scene {row.scene_id} img {row.img_id} obj {row.obj_id}: "
               f"{wall:.2f}s score {best_ll:.1f}")
-    return {"result_rows": rows, "n_steps": calibrated_steps,
-            "step_time": step_time}
+    return {"result_rows": rows, "n_steps": first_steps,
+            "step_time": first_step_time}
 
 
 def evaluate_scene(config, bop_dir, parameters, result_rows):

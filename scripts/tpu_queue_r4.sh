@@ -9,6 +9,7 @@
 # Steps:
 #   bench       headline BENCH measurement (bench.py has its own retry)
 #   budget      regenerate the stale smc_benchmark rows (red test r3)
+#   gen         synthcad train split + scale val to >=300 gts
 #   hyperopt    re-tune smc_mh/mh/mtm on the synthcad train split
 #   cadval      sampler comparison on the scaled synthcad val (CIs)
 #   hardvis     recall-vs-visibility sweep on the hardvis split
@@ -58,6 +59,21 @@ for r in rows:
 EOF
   retry budget 6000 3 -- python scripts/smc_benchmark.py --scenes 1 &&
   retry budget_test 600 1 -- python -m pytest tests/test_artifact_budgets.py -q
+}
+
+step_gen() {
+  # train split for hyperopt (never evaluated on), then append val scenes
+  # 5..18 for statistical power (72 -> ~320 gts; VERDICT r4 item 4).
+  # Generation is deterministic per (seed, scene id) so re-runs overwrite
+  # identically; each command is idempotent.
+  if [ ! -d data/bop/synthcad/train ]; then
+    retry gen_train 4500 3 -- python scripts/make_synthetic_bop.py \
+      --profile cad --split train --n-scenes 3 --n-images 8 --seed 77
+  fi
+  if [ ! -d data/bop/synthcad/val/000018 ]; then
+    retry gen_val 9000 3 -- python scripts/make_synthetic_bop.py \
+      --profile cad --split val --scene-offset 4 --n-scenes 14 --seed 42
+  fi
 }
 
 step_hyperopt() {
