@@ -396,7 +396,11 @@ def recall_ci(n_correct, n_total, z=1.96):
     center = (p + z * z / (2 * n_total)) / denom
     half = (z / denom) * np.sqrt(p * (1 - p) / n_total
                                  + z * z / (4 * n_total * n_total))
-    return max(0.0, center - half), min(1.0, center + half)
+    # the exact Wilson interval contains p-hat (with equality at p in {0,1});
+    # enforce that through float rounding so ci_hi >= recall always holds
+    # (at p=1, center+half computes to 1-2e-16 and error-bar code downstream
+    # would see a negative upper bar)
+    return max(0.0, min(p, center - half)), min(1.0, max(p, center + half))
 
 
 # --------------------------------------------------------------------------- #

@@ -226,7 +226,10 @@ def plot_recall_vs_visibility(visib_df, title="VSD recall vs visibility"):
     for label, grp in visib_df.groupby("sampler"):
         grp = grp.sort_values("visib_lo")
         x = (grp.visib_lo + grp.visib_hi) / 2
-        yerr = np.stack([grp.vsd_recall - grp.ci_lo, grp.ci_hi - grp.vsd_recall])
+        # clip: CSVs written before recall_ci clamped the interval to contain
+        # p-hat can carry ci_hi = recall - 2e-16 at full recall
+        yerr = np.clip(np.stack([grp.vsd_recall - grp.ci_lo,
+                                 grp.ci_hi - grp.vsd_recall]), 0.0, None)
         ax.errorbar(x, grp.vsd_recall, yerr=yerr, marker="o", capsize=3,
                     label=label)
     ax.set_xlabel("visibility fraction")

@@ -18,6 +18,9 @@
 
 set -u
 cd "$(dirname "$0")/.."
+# persistent XLA cache: with quantized step counts, equal-parameter runs
+# across scenes compile once (the dominant hyperopt/cadval cost)
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}
 
 retry() {  # retry <name> <timeout_s> <attempts> -- cmd...
   local name=$1 tmo=$2 tries=$3; shift 4
@@ -77,17 +80,17 @@ step_gen() {
 }
 
 step_hyperopt() {
-  retry hyperopt_smc 6000 3 -- python scripts/smc_mh_hyperopt.py \
-    --dataset synthcad --testset train --scenes 1 2 3 --trials 14 \
+  retry hyperopt_smc 9000 3 -- python scripts/smc_mh_hyperopt.py \
+    --dataset synthcad --testset train --scenes 1 2 3 --trials 10 \
     --time-budget 0.5 --experiment-name smc_mh_hyperopt_cad
   # MCMC baselines are single chains at n_particles=10 (try/particle count
   # of the sampler itself — mcmc_baseline.jl parity)
-  retry hyperopt_mh 6000 2 -- python scripts/smc_mh_hyperopt.py \
-    --dataset synthcad --testset train --scenes 1 2 3 --trials 10 \
+  retry hyperopt_mh 9000 2 -- python scripts/smc_mh_hyperopt.py \
+    --dataset synthcad --testset train --scenes 1 2 --trials 8 \
     --time-budget 0.5 --sampler mh_sampler --n-particles 10 \
     --experiment-name mcmc_hyperopt_cad_mh
-  retry hyperopt_mtm 6000 2 -- python scripts/smc_mh_hyperopt.py \
-    --dataset synthcad --testset train --scenes 1 2 3 --trials 10 \
+  retry hyperopt_mtm 9000 2 -- python scripts/smc_mh_hyperopt.py \
+    --dataset synthcad --testset train --scenes 1 2 --trials 8 \
     --time-budget 0.5 --sampler mtm_sampler --n-particles 10 \
     --experiment-name mcmc_hyperopt_cad_mtm
   echo "NOW: update TUNED_PARAMETERS in scripts/smc_bop_val.py from" \

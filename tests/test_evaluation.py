@@ -343,6 +343,13 @@ def test_recall_ci_wilson():
     # more data -> tighter interval
     lo_big, hi_big = ev.recall_ci(900, 1000)
     assert hi_big - lo_big < (hi - lo) / 2
+    # the interval must CONTAIN p-hat exactly, through float rounding: at
+    # p=1 the raw center+half computes to 1-2e-16 for some n (observed
+    # n=16), which made downstream error bars negative
+    for nc, nt in [(16, 16), (12, 12), (0, 7), (5, 7), (33, 33), (1, 1)]:
+        lo_c, hi_c = ev.recall_ci(nc, nt)
+        p = nc / nt
+        assert lo_c <= p <= hi_c, (nc, nt, lo_c, hi_c)
 
 
 def test_match_scene_errors_visib_aligned():
