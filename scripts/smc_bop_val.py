@@ -389,8 +389,13 @@ def main():
     all_errors = {}
     for config in configs:
         print(f"config: {config}")
+        # MCMC baselines run at the particle/try count they were TUNED at
+        # (n_particles=10, mcmc_baseline.jl parity — the hyperopt operating
+        # point); the SMC samplers use the sweep's particle count.
+        is_mcmc = config["sampler"].startswith(("mh", "mtm"))
         parameters = Parameters(
-            n_particles=args.n_particles, time_budget=args.time_budget,
+            n_particles=10 if is_mcmc else args.n_particles,
+            time_budget=args.time_budget,
             **tuned_parameters(args.dataset, config["sampler"]),
         )
         result, _ = produce_or_load(
