@@ -78,3 +78,22 @@ def test_plot_pose_density_weighted():
     import matplotlib.pyplot as plt
 
     plt.close(fig)
+
+
+def test_plot_recall_vs_visibility_clips_float_dust(tmp_path):
+    """CSVs written before recall_ci clamped its interval can carry
+    ci_hi = recall - 2e-16 at full recall; the plot must clip, not raise
+    (matplotlib rejects negative yerr)."""
+    import pandas as pd
+
+    df = pd.DataFrame([
+        dict(sampler="smc_mh", visib_lo=0.1, visib_hi=0.3, n_gt=6,
+             vsd_recall=0.5, ci_lo=0.19, ci_hi=0.81),
+        dict(sampler="smc_mh", visib_lo=0.3, visib_hi=0.5, n_gt=16,
+             vsd_recall=1.0, ci_lo=0.806, ci_hi=1.0 - 2e-16),
+        dict(sampler="mh_sampler", visib_lo=0.1, visib_hi=0.3, n_gt=6,
+             vsd_recall=0.0, ci_lo=0.0 + 2e-16, ci_hi=0.39),
+    ])
+    fig = viz.plot_recall_vs_visibility(df)
+    fig.savefig(tmp_path / "visib.png")
+    assert (tmp_path / "visib.png").stat().st_size > 0
