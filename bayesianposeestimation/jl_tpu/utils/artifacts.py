@@ -18,6 +18,8 @@ JLD2.
 from __future__ import annotations
 
 import itertools
+import json
+import warnings
 from pathlib import Path
 
 import numpy as np
@@ -75,18 +77,43 @@ def parse_savename(filename: str, connector: str = ",") -> dict:
     return config
 
 
-def produce_or_load(fn, config: dict, directory, filename=None, force=False) -> tuple:
+def canonical_signature(signature) -> str:
+    """Stable string encoding of an effective-parameter signature (sorted
+    keys, tuples→lists) so equality survives the npz round trip."""
+    return json.dumps(signature, sort_keys=True, default=lambda v: list(v)
+                      if isinstance(v, (tuple, set)) else repr(v))
+
+
+def produce_or_load(fn, config: dict, directory, filename=None, force=False,
+                    signature=None) -> tuple:
     """Run ``fn(config) -> dict`` unless the artifact exists; returns
     (result_dict, path) (parity: DrWatson.@produce_or_load at
-    scripts/smc_bop_val.jl:167-169)."""
+    scripts/smc_bop_val.jl:167-169).
+
+    ``signature``: dict of effective parameters that the cache key (filename)
+    does NOT encode — e.g. tuned hyperparameters, n_particles, time budget.
+    A cached artifact whose stored ``__signature__`` differs (or is absent)
+    is stale and gets recomputed, so re-tuning parameters between rounds can
+    never silently mix operating points in one aggregate CSV."""
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
     name = filename if filename is not None else savename(config)
     path = directory / f"{name}.npz"
+    sig = canonical_signature(signature) if signature is not None else None
     if path.exists() and not force:
-        return load_artifact(path), path
+        data = load_artifact(path)
+        stored = data.get("__signature__")
+        if isinstance(stored, np.ndarray):
+            stored = stored.item()
+        if sig is None or stored == sig:
+            return data, path
+        warnings.warn(f"stale artifact {path.name}: stored signature "
+                      f"{stored!r} != requested {sig!r}; recomputing")
     result = fn(config)
-    save_artifact(path, {**result, "__config__": config})
+    extra = {"__config__": config}
+    if sig is not None:
+        extra["__signature__"] = sig
+    save_artifact(path, {**result, **extra})
     return result, path
 
 

@@ -227,9 +227,17 @@ def plot_recall_vs_visibility(visib_df, title="VSD recall vs visibility"):
         grp = grp.sort_values("visib_lo")
         x = (grp.visib_lo + grp.visib_hi) / 2
         # clip: CSVs written before recall_ci clamped the interval to contain
-        # p-hat can carry ci_hi = recall - 2e-16 at full recall
-        yerr = np.clip(np.stack([grp.vsd_recall - grp.ci_lo,
-                                 grp.ci_hi - grp.vsd_recall]), 0.0, None)
+        # p-hat can carry ci_hi = recall - 2e-16 at full recall. Only float
+        # dust may be clipped — a genuinely inconsistent CSV (interval that
+        # excludes its own point estimate) must surface, not be zeroed.
+        yerr = np.stack([grp.vsd_recall - grp.ci_lo,
+                         grp.ci_hi - grp.vsd_recall])
+        if (yerr < -1e-9).any():
+            raise ValueError(
+                f"recall_vs_visibility rows for {label!r} have CI bounds on "
+                f"the wrong side of the point estimate (min margin "
+                f"{yerr.min():.3g}); the CSV is inconsistent")
+        yerr = np.clip(yerr, 0.0, None)
         ax.errorbar(x, grp.vsd_recall, yerr=yerr, marker="o", capsize=3,
                     label=label)
     ax.set_xlabel("visibility fraction")

@@ -135,6 +135,7 @@ def scene_inference(config, bop_dir, parameters):
 
     rows = []
     first_steps = first_step_time = None
+    calibration = {}  # per-obj_id calibration actually used for the runs
     runners = {}  # one compiled + calibrated chain per object (mesh shape)
     for _, row in df.iterrows():
         depth_img, mask_img, mesh = load_img_mesh(row, parameters)
@@ -234,6 +235,8 @@ def scene_inference(config, bop_dir, parameters):
                         jax.block_until_ready(warm)
             if first_steps is None:
                 first_steps, first_step_time = n_steps_obj, step_time
+            calibration[str(obj_key[0])] = dict(n_steps=int(n_steps_obj),
+                                                step_time=float(step_time))
             runners[obj_key] = run_fn
         run = runners[obj_key]
 
@@ -269,8 +272,11 @@ def scene_inference(config, bop_dir, parameters):
         ))
         print(f"  scene {row.scene_id} img {row.img_id} obj {row.obj_id}: "
               f"{wall:.2f}s score {best_ll:.1f}")
+    # n_steps/step_time keep the first object's values for legacy consumers;
+    # "calibration" records the per-object operating points (ADVICE r4: for
+    # multi-object scenes the first object's numbers don't describe the run).
     return {"result_rows": rows, "n_steps": first_steps,
-            "step_time": first_step_time}
+            "step_time": first_step_time, "calibration": calibration}
 
 
 def evaluate_scene(config, bop_dir, parameters, result_rows):
@@ -393,19 +399,32 @@ def main():
         # (n_particles=10, mcmc_baseline.jl parity — the hyperopt operating
         # point); the SMC samplers use the sweep's particle count.
         is_mcmc = config["sampler"].startswith(("mh", "mtm"))
+        eff_particles = 10 if is_mcmc else args.n_particles
+        if is_mcmc and args.n_particles != 100:
+            print(f"  NOTE: --n-particles={args.n_particles} ignored for "
+                  f"{config['sampler']} (MCMC runs at its tuned try count 10)")
+        tuned = tuned_parameters(args.dataset, config["sampler"])
         parameters = Parameters(
-            n_particles=10 if is_mcmc else args.n_particles,
+            n_particles=eff_particles,
             time_budget=args.time_budget,
-            **tuned_parameters(args.dataset, config["sampler"]),
+            **tuned,
         )
+        print(f"  effective n_particles={eff_particles}, "
+              f"time_budget={args.time_budget}s")
+        # The cache filename (savename) encodes only the sweep axes; the
+        # effective operating point (tuned hyperparameters, particle count,
+        # budget) goes into the artifact signature so a re-tune forces a
+        # recompute instead of silently mixing operating points (ADVICE r4).
+        signature = dict(n_particles=eff_particles,
+                         time_budget=args.time_budget, **tuned)
         result, _ = produce_or_load(
             lambda c: scene_inference(c, args.bop_dir, parameters),
-            config, raw_dir, filename=savename(config))
+            config, raw_dir, filename=savename(config), signature=signature)
         errors, _ = produce_or_load(
             lambda c: evaluate_scene(c, args.bop_dir, parameters,
                                      result["result_rows"]),
             config, datadir("exp_pro", args.experiment_name, "errors"),
-            filename=savename(config))
+            filename=savename(config), signature=signature)
         all_errors.setdefault(config["sampler"], []).append(errors)
 
     # recall aggregation per sampler (parity: evaluate_recalls), with

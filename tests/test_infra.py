@@ -47,6 +47,42 @@ def test_produce_or_load_caches(tmp_path):
     assert results[0]["__config__"] == {"x": 3}
 
 
+def test_produce_or_load_signature_staleness(tmp_path):
+    """A cached artifact whose effective-parameter signature differs (or is
+    missing) from the requested one must be recomputed, not replayed —
+    otherwise a re-tune between rounds silently mixes operating points in
+    one aggregate CSV (ADVICE r4 medium)."""
+    calls = []
+
+    def fn(config):
+        calls.append(config)
+        return {"value": np.asarray([len(calls)])}
+
+    sig_a = {"n_particles": 100, "sigma_t": (0.01, 0.01, 0.01)}
+    out1, _ = produce_or_load(fn, {"x": 1}, tmp_path, signature=sig_a)
+    # same signature (fresh dict, tuple vs list) -> cache hit
+    out2, _ = produce_or_load(fn, {"x": 1}, tmp_path,
+                              signature={"n_particles": 100,
+                                         "sigma_t": [0.01, 0.01, 0.01]})
+    assert len(calls) == 1 and out2["value"][0] == 1
+    # changed signature -> stale, recompute
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        out3, _ = produce_or_load(fn, {"x": 1}, tmp_path,
+                                  signature={**sig_a, "n_particles": 10})
+    assert len(calls) == 2 and out3["value"][0] == 2
+    # legacy artifact without a signature -> also stale when one is required
+    out4, _ = produce_or_load(fn, {"x": 2}, tmp_path)  # writes unsigned
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        out5, _ = produce_or_load(fn, {"x": 2}, tmp_path, signature=sig_a)
+    assert len(calls) == 4
+    # unsigned callers never invalidate a signed artifact
+    out6, _ = produce_or_load(fn, {"x": 1}, tmp_path)
+    assert len(calls) == 4
+
+
 def test_pipeable_partial_application():
     def f(a, b, c):
         return (a, b, c)
