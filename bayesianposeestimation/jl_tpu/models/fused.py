@@ -33,7 +33,21 @@ from ..ops.pallas_raster import (
 from ..posterior import tempered_logdensity
 from ..samples import Sample
 
-__all__ = ["FusedPosterior", "fused_posterior", "make_score_fn"]
+__all__ = ["FusedPosterior", "fused_posterior", "make_score_fn",
+           "make_hyper_score_fn", "make_tuned_chain"]
+
+
+def make_hyper_score_fn(params, variant: str):
+    """Score fn with TRACED likelihood scalars: (mu, z, prior_o, hyper) ->
+    (ell_px, o) where ``hyper`` is the kernel's 8-scalar SMEM row with
+    hyper[0] = pixel_sigma and hyper[1] = association_sigma. Hyperparameter
+    sweeps over these values then share one compiled kernel (the static
+    ``params`` values for them are ignored)."""
+    def fn(mu, z, prior_o, hyper):
+        p2 = params.replace(pixel_sigma=hyper[0], association_sigma=hyper[1])
+        return make_score_fn(p2, variant)(mu, z, prior_o)
+
+    return fn
 
 
 def make_score_fn(params, variant: str):
@@ -111,12 +125,24 @@ class FusedPosterior:
     point prior {t, r}. The likelihood always consumes (t, r) only."""
 
     def __init__(self, params, experiment, variant: str = "association",
-                 backface_cull: bool = True, prior_graph=None):
+                 backface_cull: bool = True, prior_graph=None,
+                 traced_hyper: bool = False):
         self.params = params
         self.experiment = experiment
         self.variant = variant
         self.backface_cull = backface_cull
-        self.score_fn = make_score_fn(params, variant)
+        if traced_hyper:
+            # tuned likelihood scalars ride an SMEM row into the kernel so a
+            # hyperparameter sweep shares ONE compiled program (the fields
+            # may hold tracers; see make_tuned_chain)
+            self.score_fn = make_hyper_score_fn(params, variant)
+            self._hyper = jnp.stack([
+                jnp.asarray(params.pixel_sigma, jnp.float32),
+                jnp.asarray(params.association_sigma, jnp.float32),
+            ])
+        else:
+            self.score_fn = make_score_fn(params, variant)
+            self._hyper = None
         self.simple_reg = variant in _SIMPLE_REG
         # Reorder the mesh ONCE for the kernel. Preferred: antipodal pairing
         # (half-size raster region + silhouette overflow — see
@@ -180,7 +206,7 @@ class FusedPosterior:
             exp.depth_image, jnp.asarray(exp.prior_o, params.float_type),
             self.score_fn, height=params.height, width=params.width,
             chunk=params.raster_chunk, backface_cull=self.backface_cull,
-            paired=self._paired,
+            paired=self._paired, hyper=self._hyper,
         )
         ell_raw = ell_raw.reshape(batch)
         sum_o = sum_o.reshape(batch)
@@ -268,6 +294,85 @@ def make_conditioned_chain(params, verts, faces, variant, sampler_factory,
         return _run(key, camera, jnp.asarray(depth_img, jnp.float32),
                     jnp.asarray(prior_o, jnp.float32),
                     jnp.asarray(prior_t, jnp.float32))
+
+    run._cache_size = _run._cache_size
+    return run
+
+
+def make_tuned_chain(params, verts, faces, variant, sampler_factory,
+                     n_steps, collect_vars=("t", "r"), n_chains=None):
+    """Chain runner with TRACED tuned hyperparameters: like
+    make_conditioned_chain, but the returned
+    ``run(key, camera, depth_img, prior_o, prior_t, hyper) -> (outs, final)``
+    additionally takes ``hyper`` = dict(pixel_sigma=s, association_sigma=s,
+    sigma_t=[3], proposal_sigma_r=[3]) as traced values, so a hyperparameter
+    search runs EVERY candidate through one compiled program (step time — and
+    therefore the budget-calibrated step count — is candidate-independent).
+
+    The likelihood scalars reach the Pallas kernel via an SMEM hyper row
+    (FusedPosterior(traced_hyper=True)); the prior/proposal sigmas flow
+    through the graph nodes as ordinary traced arrays.
+
+    Parity: this powers the BCAPSampler-style search of
+    /root/reference/scripts/smc_mh_hyperopt.jl at reference trial counts —
+    the Julia reference pays no per-candidate compile, and with this neither
+    do we.
+    """
+    import jax
+
+    from ..parameters import Experiment
+    from ..samplers.chain import collect_variables
+    from ..samplers.smc import SmcState
+
+    verts = jnp.asarray(verts)
+    faces = jnp.asarray(faces)
+
+    @jax.jit
+    def _run(key, camera, depth_img, prior_o, prior_t, hyper):
+        params2 = params.replace(
+            pixel_sigma=hyper["pixel_sigma"],
+            association_sigma=hyper["association_sigma"],
+            sigma_t=hyper["sigma_t"],
+            proposal_sigma_r=hyper["proposal_sigma_r"],
+        )
+        scene = {"camera": camera, "verts": verts, "faces": faces}
+        exp = Experiment(scene=scene, prior_o=prior_o, prior_t=prior_t,
+                         depth_image=depth_img)
+        posterior = FusedPosterior(params2, exp, variant, traced_hyper=True)
+        sampler = sampler_factory(params2, posterior)
+        k_init, k_scan = jax.random.split(key)
+        _, state0 = sampler.init(k_init, posterior,
+                                 params.n_particles if n_chains is None else n_chains)
+
+        def body(state, k):
+            sample, new_state = sampler.step(k, posterior, state)
+            out = collect_variables(
+                new_state if isinstance(new_state, SmcState) else sample, collect_vars)
+            return new_state, out
+
+        keys = jax.random.split(k_scan, n_steps - 1)
+        final, outs = jax.lax.scan(body, state0, keys)
+        return outs, final
+
+    import dataclasses
+
+    def run(key, camera, depth_img, prior_o, prior_t, hyper):
+        camera = dataclasses.replace(
+            camera,
+            f_x=jnp.float32(camera.f_x), f_y=jnp.float32(camera.f_y),
+            c_x=jnp.float32(camera.c_x), c_y=jnp.float32(camera.c_y),
+            s=jnp.float32(camera.s),
+        )
+        hyper = {
+            "pixel_sigma": jnp.float32(hyper["pixel_sigma"]),
+            "association_sigma": jnp.float32(hyper["association_sigma"]),
+            "sigma_t": jnp.asarray(hyper["sigma_t"], jnp.float32),
+            "proposal_sigma_r": jnp.asarray(hyper["proposal_sigma_r"],
+                                            jnp.float32),
+        }
+        return _run(key, camera, jnp.asarray(depth_img, jnp.float32),
+                    jnp.asarray(prior_o, jnp.float32),
+                    jnp.asarray(prior_t, jnp.float32), hyper)
 
     run._cache_size = _run._cache_size
     return run

@@ -19,21 +19,25 @@ Kernel design (TPU v5e, see /opt/skills/guides/pallas_guide.md):
   [f_pad] triangle-vertex rows for all 8 poses at once ([8, f_pad] arrays,
   pose scalars as [8, 1] columns — full VPU sublane utilization) and build
   the per-triangle linear forms in homogeneous pixel coordinates (u, v, 1)
-  — two edge functions and the perspective-correct depth numerator
-  d = Σ (1/z_i) L_i — pre-multiplied by sign(area) so the inside test is
+  — two edge functions, pre-multiplied by sign(area) so the inside test is
   branch-free. Only the raster dot + inside-test epilogue loop per pose.
 * Every form is pre-divided by the signed area: the inside test becomes
-  ``min(w0', w1') >= -1e-5 and w0'+w1' <= 1+1e-5`` (the THIRD edge function
-  is never evaluated: barycentric edge numerators sum to the double area
-  identically, so w2' = 1 - w0' - w1' — 25% fewer MXU rows) and the
-  depth-numerator form becomes 1/depth directly, so the per-pixel z-min is
-  a running MAX over d' with a single exact divide per pixel after the
+  ``min(w0', w1') >= -1e-5 and w0'+w1' <= 1+1e-5``. Neither the THIRD edge
+  function nor the perspective-correct 1/depth value rides the MXU
+  contraction: barycentric edge numerators sum to the double area
+  identically (w2' = 1 - w0' - w1'), and the depth numerator is a
+  barycentric combination d = Σ iz_i w_i' = gamma + alpha*W0 + beta*W1
+  reconstructed in the epilogue from per-TRIANGLE scalars (broadcast as
+  [chunk, 1] columns via one plane transpose per program). The raster dot
+  output — the measured MXU-streaming bound at crop resolutions — thus
+  carries HALF the M rows of the naive 4-form layout. The per-pixel z-min
+  is a running MAX over d with a single exact divide per pixel after the
   chunk loop — no per-(triangle, pixel) reciprocal, and the constant area
   form disappears.
 * The forms live in [8, f_pad] VMEM coefficient planes (pose = sublane);
   the triangle axis streams through in static chunks of ``chunk``: per
-  (pose, chunk) ONE [6, 3*chunk] x [6, P] MXU contraction evaluates all
-  three form groups (concatenated along the M axis) at every pixel.
+  (pose, chunk) ONE [6, 2*chunk] x [6, P] MXU contraction evaluates both
+  edge groups (concatenated along the M axis) at every pixel.
 * Geometry matmuls use a manual bf16x2 scheme: the pixel grid is centered on
   a static half-integer point (EXACT in bf16; the true principal point is
   folded into the traced coefficients) and each [3, chunk] slice is split
@@ -77,11 +81,17 @@ __all__ = ["pallas_render_score", "pallas_render_depth", "expand_triangle_rows",
            "spatial_sort_faces"]
 
 LANE = 128
-# L0/area, L1/area edge functions and the 1/depth form d/area. The third edge
-# function is DERIVED, not evaluated: barycentric edge numerators sum to the
-# double area identically (L0+L1+L2 = 2A), so after pre-division by the signed
-# area w2' = 1 - w0' - w1' — one fewer M-row group in the MXU contraction.
+# Coefficient plane groups: two edge-function forms L0/area, L1/area (3
+# coefficients each) plus the per-triangle depth-combination scalars
+# (alpha, beta, gamma) — 9 [PB, f_pad] planes total.
 N_FORMS = 3
+# Only the two edge groups go through the raster dot. The third edge
+# function is DERIVED (barycentric edge numerators sum to the double area
+# identically, so after pre-division by the signed area w2' = 1 - w0' - w1')
+# and so is the 1/depth value (d = gamma + alpha*W0 + beta*W1, per-triangle
+# scalars broadcast in the epilogue): the raster dot output — the measured
+# MXU-streaming bound at crop resolutions — carries 2 M-row groups, not 4.
+N_DOT_GROUPS = 2
 
 
 # Grid-centered half-integer pixel coordinates are bf16-exact only while
@@ -130,9 +140,13 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-# Per-chunk dot output is [N_FORMS*chunk, p_pad] f32; keep it around this
-# budget. Measured on v5e: at p_pad=1024 chunk 640-1280 (10-21 MiB) is
-# fastest, at p_pad=3712 chunk 256 (14 MiB) beats 512 (29 MiB).
+# Per-chunk dot output is [N_DOT_GROUPS*chunk, p_pad] f32; keep it around
+# this budget. Measured on v5e: at p_pad=1024 chunk 640-1280 (10-21 MiB) is
+# fastest, at p_pad=3712 chunk 256 (14 MiB) beats 512 (29 MiB); the r5
+# 50x50 decision matrix (data/exp_pro/kernel_profile/
+# crop50_decision_matrix_r5.log) showed the single-chunk config beating the
+# budget-constrained auto choice 7.99 vs 9.06 us/pose at the 3-group dot —
+# with the 2-group dot the same single-chunk config fits the budget.
 _CHUNK_VMEM_BUDGET = 16 * 2**20
 
 
@@ -152,7 +166,7 @@ def _auto_chunk(n_faces, p_pad):
     1280 faces at chunk 1024 pads to 2048). Ties go to the LARGER chunk:
     measured on v5e, each extra chunk costs ~0.4 us/pose of split/concat/dot
     setup — far more than finer-grained liveness culling saves."""
-    by_budget = _CHUNK_VMEM_BUDGET // (N_FORMS * 4 * p_pad)
+    by_budget = _CHUNK_VMEM_BUDGET // (N_DOT_GROUPS * 4 * p_pad)
     cmax = max(LANE, by_budget // LANE * LANE)
     f_ceil = _round_up(n_faces, LANE)
     best_c = LANE
@@ -392,7 +406,7 @@ def _compact_cap(f_pad):
 
 def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
                  backface_cull, score_fn=None, with_mu=False, band_cull=True,
-                 compact=False, paired=False):
+                 compact=False, paired=False, with_hyper=False):
     """Kernel body. Refs: cam (SMEM [1,8]), pose (VMEM [1, POSE_BLOCK, 8]),
     tri (VMEM [9,f_pad]) [, z (VMEM [1,p_pad]), prior (VMEM [1,p_pad])],
     outputs, then scratch: 9 coefficient planes (VMEM [POSE_BLOCK, f_pad],
@@ -450,10 +464,10 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         return run
 
     def split_lhs(form_refs, p, sl):
-        """[6, 3*m] raster LHS for lane slice ``sl``: hi rows 0-2 / lo rows
-        3-5 (bf16x2 mantissa split), form groups along lanes."""
+        """[6, 2*m] raster LHS for lane slice ``sl``: hi rows 0-2 / lo rows
+        3-5 (bf16x2 mantissa split), the two edge groups along lanes."""
         his, los = [], []
-        for g in range(N_FORMS):
+        for g in range(N_DOT_GROUPS):
             rows = jnp.concatenate(
                 [form_refs[3 * g + k][p:p + 1, sl] for k in range(3)], axis=0)
             hi, lo = _bf16_split(rows)
@@ -464,17 +478,41 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
              jnp.concatenate(los, axis=1)], axis=0)
 
     def split_bigs(form_refs, p, sl):
-        """Per form group: [6, w] bf16 rows (hi a,b,c over lo a,b,c) — kept
-        as THREE separate values so every permutation-dot result sits at
+        """Per edge group: [6, w] bf16 rows (hi a,b,c over lo a,b,c) — kept
+        as separate values so every permutation-dot result sits at
         sublane offset 0 (Mosaic cannot lane-concat slices taken at
         different sublane offsets of one larger vreg)."""
         bigs = []
-        for g in range(N_FORMS):
+        for g in range(N_DOT_GROUPS):
             rows = jnp.concatenate(
                 [form_refs[3 * g + k][p:p + 1, sl] for k in range(3)], axis=0)
             hi, lo = _bf16_split(rows)
             bigs.append(jnp.concatenate([hi, lo], axis=0))
         return bigs
+
+    def depth_combo_T(form_refs, sl):
+        """[w, PB] transposed alpha/beta/gamma planes for lane slice ``sl``:
+        the epilogue broadcasts them as per-TRIANGLE [m, 1] columns, which
+        needs the triangle axis on sublanes. One [PB, w] -> [w, PB]
+        transpose per plane per program (8 poses amortized)."""
+        return [jnp.transpose(form_refs[6 + k][:, sl]) for k in range(3)]
+
+    def permute_combo(combo_T, sel, p):
+        """Compacted [m, 1] alpha/beta/gamma columns for pose ``p``: the
+        same exact one-hot permutation as permute_lhs, via hi/lo bf16
+        splits of the transposed planes (a plain f32/bf16 dot would round
+        gamma — the dominant 1/depth term — to bf16)."""
+        out = []
+        for ct in combo_T:
+            hi, lo = _bf16_split(ct[:, p:p + 1])
+            col = (jax.lax.dot_general(
+                sel, hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    sel, lo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            out.append(col)
+        return out
 
     def permute_lhs(bigs, sel):
         """Compact live rows via an exact one-hot MXU permutation: one 0/1
@@ -487,14 +525,19 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
             for big_g in bigs]
         return jnp.concatenate(comps, axis=1)
 
-    def make_epilogue(maxd_ref, p, m):
+    def make_epilogue(maxd_ref, p, m, combo):
         """Branch-free inside-test + running z-numerator max over a dot
-        output of ``m`` triangle rows per form group (see _INSIDE_SCALE)."""
+        output of ``m`` triangle rows per edge group (see _INSIDE_SCALE).
+        ``combo`` = (alpha, beta, gamma) [m, 1] per-triangle columns: the
+        1/depth value is reconstructed as d = gamma + alpha*W0 + beta*W1
+        instead of riding the dot as a third M-row group."""
+        alpha, beta, gamma = combo
+
         def epilogue(out, bs, be):
             w0 = out[0 * m:1 * m]
             w1 = out[1 * m:2 * m]
-            dd = out[2 * m:3 * m]
             w2 = _INSIDE_C - (w0 + w1)
+            dd = gamma + alpha * w0 + beta * w1
             cand = jnp.minimum(jnp.minimum(jnp.minimum(w0, w1), w2), dd)
             maxd_ref[p:p + 1, bs:be] = jnp.maximum(
                 maxd_ref[p:p + 1, bs:be],
@@ -561,9 +604,6 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         iz0 = 1.0 / z[0]
         iz1 = 1.0 / z[1]
         iz2 = 1.0 / z[2]
-        d_a = iz0 * a0 + iz1 * a1 + iz2 * a2
-        d_b = iz0 * b0 + iz1 * b1 + iz2 * b2
-        d_c = iz0 * c0 + iz1 * c1 + iz2 * c2
 
         # u, v are already in grid-centered coordinates (cx_off folded in)
         lo_u, hi_u = -gc_x - 0.5, width - 1 - gc_x + 0.5
@@ -584,18 +624,30 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         # triangles get zero forms (inside-true but d' = 0, lost to the max).
         factor = jnp.where(valid, 1.0 / jnp.where(valid, area, 1.0), 0.0)
 
-        # w2' is derived at raster time (w2' = 1 - w0' - w1'); only the first
-        # two edge groups and the depth group are stored/evaluated. The edge
-        # groups carry the _INSIDE_SCALE/_INSIDE_TOL folding (see the
-        # constants above) so the epilogue is branch-free. For culled
-        # triangles factor=0 -> W0=W1=SCALE*TOL > 0 (inside-test passes
-        # vacuously) but d'=0, so they lose to the background max.
+        # w2' is derived at raster time (w2' = 1 - w0' - w1') and so is the
+        # 1/depth value: only the TWO edge groups go through the raster dot
+        # (the measured bound at crop resolutions is the MXU streaming the
+        # [rows, pixels] dot output — dropping the depth group cuts that
+        # volume by a third). The edge groups carry the
+        # _INSIDE_SCALE/_INSIDE_TOL folding (see the constants above) so the
+        # epilogue is branch-free; the epilogue then reconstructs
+        #   d = gamma + alpha*W0 + beta*W1
+        # from the barycentric identity d = sum_i iz_i * w_i' with
+        # w_i' = W_i/SCALE - TOL, via three per-TRIANGLE scalars (planes
+        # 6-8, broadcast as [chunk, 1] columns after a transpose). For
+        # culled triangles factor=0 -> W0=W1=SCALE*TOL > 0 (inside-test
+        # passes vacuously) but alpha=beta=gamma=0 -> d=0, so they lose to
+        # the background max.
         fK = factor * _INSIDE_SCALE
+        validm = valid.astype(jnp.float32)
+        alpha = validm * (iz0 - iz2) * (1.0 / _INSIDE_SCALE)
+        beta = validm * (iz1 - iz2) * (1.0 / _INSIDE_SCALE)
+        gamma = validm * (iz2 - _INSIDE_TOL * (iz0 + iz1 - 2.0 * iz2))
         coeffs = [a0 * fK, b0 * fK,
                   (c0 * factor + _INSIDE_TOL) * _INSIDE_SCALE,
                   a1 * fK, b1 * fK,
                   (c1 * factor + _INSIDE_TOL) * _INSIDE_SCALE,
-                  d_a * factor, d_b * factor, d_c * factor]
+                  alpha, beta, gamma]
         for k, val in enumerate(coeffs):
             form_refs[k][:] = val  # full [PB, f_pad] aligned store
 
@@ -652,18 +704,20 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
 
         s_base = jax.lax.broadcasted_iota(jnp.int32, (cap, f_pad), 0).astype(
             jnp.float32)  # [cap, f_pad]: slot index per output row
+        combo_T = depth_combo_T(form_refs, slice(None))  # 3x [f_pad, PB]
 
         for p in range(PB):
-            bigs = split_bigs(form_refs, p, slice(None))  # 3x [6, f_pad]
+            bigs = split_bigs(form_refs, p, slice(None))  # 2x [6, f_pad]
             slot_row = slot[p:p + 1, :]  # [1, f_pad]
-            epilogue = make_epilogue(maxd_ref, p, cap)
 
             for r in range(n_regions):
 
                 @pl.when(live_ref[p] > r * cap)
                 def _(r=r):
                     sel = (s_base + (r * cap) == slot_row).astype(jnp.bfloat16)
-                    # [6, 3*cap]: hi rows 0-2 / lo rows 3-5, groups along lanes
+                    epilogue = make_epilogue(maxd_ref, p, cap,
+                                             permute_combo(combo_T, sel, p))
+                    # [6, 2*cap]: hi rows 0-2 / lo rows 3-5, groups along lanes
                     pipelined_dense(permute_lhs(bigs, sel), grid, epilogue)
 
         maxd = maxd_ref[:]
@@ -726,6 +780,9 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
 
         s_base = jax.lax.broadcasted_iota(
             jnp.int32, (_PAIR_OVERFLOW, f_half), 0).astype(jnp.float32)
+        # transposed depth-combo planes: selected-A halves and R halves
+        combo_T_a = depth_combo_T(form_refs, slice(0, f_half))
+        combo_T_r = depth_combo_T(form_refs, slice(f_half, None))
 
         for p in range(PB):
             # ---- region A: the selected pair faces, chunked; each chunk
@@ -735,9 +792,10 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
             # flagship config (measured 185k -> 149k hyp/s — the branch
             # fences the dot/epilogue pipeline), and a whole-mesh A region
             # is live for any on-screen pose anyway. ----
-            epilogue_a = make_epilogue(maxd_ref, p, chunk)
-
             def region_a(ca, p=p):
+                combo_a = [ct[ca * chunk:(ca + 1) * chunk, p:p + 1]
+                           for ct in combo_T_a]
+                epilogue_a = make_epilogue(maxd_ref, p, chunk, combo_a)
                 lhs = split_lhs(form_refs, p, pl.ds(ca * chunk, chunk))
                 pipelined_dense(lhs, grid, epilogue_a)
 
@@ -753,9 +811,8 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
                         region_a(ca)
 
             # ---- overflow regions: compacted both-live R faces ----
-            bigs = split_bigs(form_refs, p, slice(f_half, None))  # 3x [6, f_half]
+            bigs = split_bigs(form_refs, p, slice(f_half, None))  # 2x [6, f_half]
             slot_row = slot[p:p + 1, :]
-            epilogue_o = make_epilogue(maxd_ref, p, _PAIR_OVERFLOW)
 
             for r in range(n_over):
 
@@ -763,6 +820,9 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
                 def _(r=r):
                     sel = (s_base + (r * _PAIR_OVERFLOW) == slot_row).astype(
                         jnp.bfloat16)
+                    epilogue_o = make_epilogue(
+                        maxd_ref, p, _PAIR_OVERFLOW,
+                        permute_combo(combo_T_r, sel, p))
                     pipelined_dense(permute_lhs(bigs, sel), grid, epilogue_o)
 
         maxd = maxd_ref[:]
@@ -774,14 +834,17 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
                     chunk_live_ref)
         grid = grid_rows()
         maxd_ref[:] = jnp.zeros((PB, p_pad), jnp.float32)
+        combo_T = depth_combo_T(form_refs, slice(None))  # 3x [f_pad, PB]
 
         for p in range(PB):
-            epilogue = make_epilogue(maxd_ref, p, chunk)
             for c in range(n_chunks):
 
                 @pl.when(chunk_live_ref[p * n_chunks + c] > 0)
                 def _():
-                    # [6, 3*chunk]: groups along M, lo correction along K
+                    combo = [ct[c * chunk:(c + 1) * chunk, p:p + 1]
+                             for ct in combo_T]
+                    epilogue = make_epilogue(maxd_ref, p, chunk, combo)
+                    # [6, 2*chunk]: groups along M, lo correction along K
                     # (the MXU pads K=3 anyway — the lo pass is free)
                     lhs = split_lhs(form_refs, p, pl.ds(c * chunk, chunk))
 
@@ -829,8 +892,12 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
 
         return render_kernel
 
-    def score_kernel(cam_ref, pose_ref, tri_ref, z_ref, prior_ref, ell_ref,
-                     sumo_ref, *rest):
+    def score_kernel(cam_ref, pose_ref, tri_ref, z_ref, prior_ref, *rest):
+        if with_hyper:
+            hyper_ref = rest[0]
+            rest = rest[1:]
+        ell_ref, sumo_ref = rest[0], rest[1]
+        rest = rest[2:]
         if with_mu:
             mu_ref = rest[0]
             scratch = rest[1:]
@@ -839,7 +906,12 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         mu = run_raster(cam_ref, pose_ref, tri_ref, scratch)  # [PB, p_pad]
         z = z_ref[:]
         prior_o = prior_ref[:]
-        ell_px, o = score_fn(mu, z, prior_o)  # broadcast [PB, p_pad]
+        if with_hyper:
+            # traced likelihood scalars (SMEM row): score_fn takes a 4th arg
+            hyper = tuple(hyper_ref[0, i] for i in range(8))
+            ell_px, o = score_fn(mu, z, prior_o, hyper)
+        else:
+            ell_px, o = score_fn(mu, z, prior_o)  # broadcast [PB, p_pad]
         idx = jax.lax.broadcasted_iota(jnp.int32, (1, p_pad), 1)
         pixmask = idx < n_pix_valid
         ell_ref[0] = jnp.sum(jnp.where(pixmask, ell_px, 0.0), axis=1,
@@ -999,12 +1071,18 @@ def _flatten_pad_image(img, p_pad):
 def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
                         score_fn, height=None, width=None, chunk=None,
                         return_mu=False, backface_cull=True, band_cull=False,
-                        compact=None, paired=False):
+                        compact=None, paired=False, hyper=None):
     """Fully-fused transform + render + associate + score.
 
     ``score_fn(mu, z, prior_o) -> (ell_px, o)``: elementwise per-pixel log
     density and association probability (static — compiled into the kernel).
     ``z_img`` [H, W] observation (invalid = +inf), ``prior_o`` scalar or [H, W].
+
+    ``hyper``: optional [<=8] array of TRACED likelihood scalars (e.g. tuned
+    pixel_sigma/association_sigma for hyperparameter search); when given the
+    kernel receives it as an SMEM row and calls
+    ``score_fn(mu, z, prior_o, hyper_tuple)`` — hyperparameter sweeps then
+    share ONE compiled kernel instead of re-compiling per candidate.
 
     Returns (ell [N], sum_o [N]) and optionally μ [N, H, W].
     """
@@ -1031,7 +1109,8 @@ def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
     kernel = _make_kernel(width, height, p_pad, f_pad, chunk,
                           float(cam.near), float(cam.far), n_pix, backface_cull,
                           score_fn=score_fn, with_mu=return_mu,
-                          band_cull=band_cull, compact=compact, paired=paired)
+                          band_cull=band_cull, compact=compact, paired=paired,
+                          with_hyper=hyper is not None)
 
     pose_rows = _pose_rows(t, q)
     n_prog = pose_rows.shape[0]
@@ -1049,22 +1128,32 @@ def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
         out_specs.append(
             pl.BlockSpec((1, POSE_BLOCK, p_pad), lambda i: (i, 0, 0)))
 
+    in_specs = [
+        pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, POSE_BLOCK, 8), lambda i: (i, 0, 0)),
+        pl.BlockSpec((9, f_pad), lambda i: (0, 0)),
+        pl.BlockSpec((1, p_pad), lambda i: (0, 0)),
+        pl.BlockSpec((1, p_pad), lambda i: (0, 0)),
+    ]
+    operands = [_camera_row(cam, width, height), pose_rows, tri_rows, z_row,
+                prior_row]
+    if hyper is not None:
+        hyper_row = jnp.zeros((1, 8), jnp.float32).at[0, : jnp.asarray(
+            hyper).shape[0]].set(jnp.asarray(hyper, jnp.float32))
+        in_specs.append(
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM))
+        operands.append(hyper_row)
+
     outs = pl.pallas_call(
         kernel,
         grid=(n_prog,),
-        in_specs=[
-            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, POSE_BLOCK, 8), lambda i: (i, 0, 0)),
-            pl.BlockSpec((9, f_pad), lambda i: (0, 0)),
-            pl.BlockSpec((1, p_pad), lambda i: (0, 0)),
-            pl.BlockSpec((1, p_pad), lambda i: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=_scratch_shapes(f_pad, n_chunks, p_pad, band_cull,
                                        compact, paired),
         interpret=_interpret_mode(),
-    )(_camera_row(cam, width, height), pose_rows, tri_rows, z_row, prior_row)
+    )(*operands)
 
     ell = outs[0].reshape(-1)[:n]
     sumo = outs[1].reshape(-1)[:n]

@@ -50,20 +50,23 @@ def main():
                 "testset": args.testset, "scene_id": scene_id})
 
     rows = []
+    tuned = dict(pixel_sigma=0.005, association_sigma=0.005, o_mask_is=0.9,
+                 proposal_sigma_r=(float(np.pi),) * 3)
     for config in configs:
         parameters = Parameters(
             n_particles=config["n_particles"], time_budget=config["pose_time"],
-            pixel_sigma=0.005, association_sigma=0.005, o_mask_is=0.9,
-            proposal_sigma_r=(np.pi, np.pi, np.pi),
+            **tuned,
         )
         print(f"config: {config}")
         result, _ = produce_or_load(
             lambda c: scene_inference(c, args.bop_dir, parameters),
-            config, datadir("exp_raw", name), filename=savename(config))
+            config, datadir("exp_raw", name), filename=savename(config),
+            signature=tuned)
         errors, _ = produce_or_load(
             lambda c: evaluate_scene(c, args.bop_dir, parameters,
                                      result["result_rows"]),
-            config, datadir("exp_pro", name, "errors"), filename=savename(config))
+            config, datadir("exp_pro", name, "errors"),
+            filename=savename(config), signature=tuned)
         rows.append(dict(
             **{k: v for k, v in config.items() if k not in ("dataset", "testset")},
             adds_recall=ev.recall(*ev.threshold_errors(errors["adds"],

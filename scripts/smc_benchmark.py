@@ -15,7 +15,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from smc_bop_val import TUNED_PARAMETERS, evaluate_scene, scene_inference  # noqa: E402
+from smc_bop_val import evaluate_scene, scene_inference, tuned_parameters  # noqa: E402
 
 
 def main():
@@ -48,18 +48,25 @@ def main():
     })
     rows = []
     for config in configs:
+        # each dataset/sampler runs at ITS tuned operating point (synthcad:
+        # CAD_TUNED; synth keeps the values its checked-in artifacts used)
+        tuned = tuned_parameters(args.dataset, args.sampler)
         parameters = Parameters(
             n_particles=config["n_particles"], time_budget=config["pose_time"],
-            **TUNED_PARAMETERS,
+            **tuned,
         )
+        # n_particles/pose_time are in the savename; the tuned values go in
+        # the signature so a re-tune can't silently mix operating points
+        signature = dict(tuned)
         print(f"config: {config}")
         result, _ = produce_or_load(
             lambda c: scene_inference(c, args.bop_dir, parameters),
-            config, datadir("exp_raw", args.experiment_name), filename=savename(config))
+            config, datadir("exp_raw", args.experiment_name),
+            filename=savename(config), signature=signature)
         errors, _ = produce_or_load(
             lambda c: evaluate_scene(c, args.bop_dir, parameters, result["result_rows"]),
             config, datadir("exp_pro", args.experiment_name, "errors"),
-            filename=savename(config))
+            filename=savename(config), signature=signature)
         n_vsd = ev.threshold_errors(errors["vsd"], ev.BOP18_THETA)
         vsd_rec = ev.recall(*n_vsd)
         vsd_lo, vsd_hi = ev.recall_ci(*n_vsd)

@@ -10,16 +10,32 @@ trial 0, a quasi-random batch explores, then a cross-entropy refinement
 exploration floor) exploits — the same explore/exploit loop BCAPSampler
 drives with its surrogate.
 
-    python scripts/smc_mh_hyperopt.py --trials 8 --scenes 1
+Reference-depth searches are affordable because the candidate values are
+TRACED (models.fused.make_tuned_chain): the likelihood scalars ride an SMEM
+row into the Pallas kernel and the prior/proposal sigmas flow through the
+graph as traced arrays, so all trials share ONE compiled chain per
+(scene, object) and a trial costs only its sampling walltime — exactly like
+the Julia reference, which pays no per-candidate compile either
+(smc_mh_hyperopt.jl runs 200 trials this way).
+
+Each search takes an independent RNG seed (default: derived from the sampler
+name), so the per-sampler optima are statistically independent draws — the
+r4 searches shared their first six candidates. Near-ties on the train split
+(within one train gt of the best cost) are broken by replaying the tied
+candidates on held-out val scenes instead of by file order.
+
+    python scripts/smc_mh_hyperopt.py --dataset synthcad --testset train \
+        --scenes 1 2 3 4 5 6 --trials 50 --sampler smc_mh
 """
 
 import argparse
 import sys
+import zlib
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from smc_bop_val import evaluate_scene, scene_inference  # noqa: E402
+from smc_bop_val import _quantize_steps, evaluate_scene  # noqa: E402
 
 # (name, low, high, log-scale). The first three mirror the reference's
 # search space (smc_mh_hyperopt.jl:182-204); sigma_t and o_mask_not extend
@@ -56,7 +72,7 @@ def _from_unit(u):
     return cand
 
 
-def next_candidate(history, rng):
+def next_candidate(history, rng, n_explore=6):
     """Seeded optimum -> quasi-random exploration -> cross-entropy refinement."""
     import numpy as np
 
@@ -64,7 +80,7 @@ def next_candidate(history, rng):
         return dict(o_mask_is=0.9, pixel_sigma=0.005, sigma_r=float(np.pi),
                     sigma_t=0.03, o_mask_not=0.3)
     n = len(history)
-    if n < 6:  # exploration batch
+    if n < n_explore:  # exploration batch
         return _from_unit(rng.uniform(size=len(SPACE)))
     # CEM: fit a Gaussian to the top-30% trials in unit space
     ranked = sorted(history, key=lambda h: h["cost"])
@@ -75,19 +91,151 @@ def next_candidate(history, rng):
     return _from_unit(rng.normal(mean, std))
 
 
+def build_scene_runner(scene_id, args, parameters, testset=None):
+    """Load one scene's data, compile + calibrate ONE tuned chain per object,
+    and return ``run_trial(cand) -> result_rows`` (smc_bop_val.scene_inference
+    semantics, but candidate values are traced so trials never recompile)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bayesianposeestimation.jl_tpu.camera import crop_camera, crop_image
+    from bayesianposeestimation.jl_tpu.models import experiment_samplers as es
+    from bayesianposeestimation.jl_tpu.models.experiment_models import (
+        point_from_segmentation,
+    )
+    from bayesianposeestimation.jl_tpu.models.fused import (
+        fused_posterior,
+        make_tuned_chain,
+    )
+    from bayesianposeestimation.jl_tpu.parameters import Experiment
+    from bayesianposeestimation.jl_tpu.utils import bop
+    from bayesianposeestimation.jl_tpu.utils.evaluation import (
+        mean_step_time,
+        steps_for_time_budget,
+    )
+    from bayesianposeestimation.jl_tpu.utils.experiment_io import load_img_mesh
+
+    testset = testset or args.testset
+    df = bop.bop_test_or_train(args.bop_dir, args.dataset, testset, scene_id)
+    sampler_factory = getattr(es, args.sampler)
+    is_mcmc = args.sampler.startswith(("mh", "mtm"))
+    n_chains = 1 if is_mcmc else parameters.n_particles
+    key0 = jax.random.PRNGKey(parameters.seed % (2**31))
+
+    items = []  # (row data prepared once; prior_o depends on the candidate)
+    runners = {}
+    for _, row in df.iterrows():
+        depth_img, mask_img, mesh = load_img_mesh(row, parameters)
+        diameter = bop.model_diameter(row)
+        full_cam = bop.camera_for_row(row)
+        full_depth = bop.load_depth_image(row)
+        full_mask = bop.load_mask_image(row)
+        ys, xs = np.nonzero(np.asarray(full_mask))
+        bbox = (xs.min(), xs.max(), ys.min(), ys.max()) if xs.size else (0, 1, 0, 1)
+        prior_t = point_from_segmentation(bbox, full_depth, full_mask,
+                                          full_cam, diameter=diameter)
+        cam = crop_camera(full_cam, prior_t, diameter,
+                          width=parameters.width, height=parameters.height)
+        obs = jnp.asarray(crop_image(full_depth, full_cam, cam))
+        mask_crop = np.asarray(crop_image(full_mask, full_cam, cam))
+
+        obj_key = (int(row.obj_id), mesh.n_faces)
+        if obj_key not in runners:
+            # calibrate ONCE per object: the step time is candidate-
+            # independent (same program, same shapes), so the budgeted step
+            # count is shared by every trial (parity: the reference measures
+            # mean_step_time once per scene too, smc_mh_hyperopt.jl:101-106)
+            scene = {"camera": cam, "verts": jnp.asarray(mesh.vertices),
+                     "faces": jnp.asarray(mesh.faces)}
+            experiment = Experiment(
+                scene=scene,
+                prior_o=jnp.full((parameters.height, parameters.width),
+                                 jnp.float32(parameters.o_mask_is)),
+                prior_t=jnp.asarray(prior_t), depth_image=obs)
+            posterior = fused_posterior(parameters, experiment, "association")
+            probe = sampler_factory(parameters, posterior)
+            step_time, overhead = mean_step_time(key0, posterior, probe,
+                                                 n_chains, max_seconds=0.5,
+                                                 return_overhead=True)
+            n_steps = _quantize_steps(steps_for_time_budget(
+                step_time, parameters.time_budget, overhead=overhead))
+            print(f"  scene {scene_id} obj {obj_key[0]}: step "
+                  f"{step_time*1e3:.2f} ms -> {n_steps} steps per "
+                  f"{parameters.time_budget}s budget")
+            params_run = parameters.replace(n_steps=n_steps)
+            runners[obj_key] = (make_tuned_chain(
+                params_run, mesh.vertices, mesh.faces, "association",
+                sampler_factory, n_steps, n_chains=n_chains), n_steps)
+        items.append(dict(row=row, cam=cam, obs=obs, mask_crop=mask_crop,
+                          prior_t=np.asarray(prior_t, np.float32),
+                          obj_key=obj_key))
+
+    def run_trial(cand, key):
+        import time as _time
+
+        hyper = dict(pixel_sigma=cand["pixel_sigma"],
+                     association_sigma=cand["pixel_sigma"],
+                     sigma_t=(cand["sigma_t"],) * 3,
+                     proposal_sigma_r=(cand["sigma_r"],) * 3)
+        rows = []
+        for it in items:
+            run_fn, n_steps = runners[it["obj_key"]]
+            prior_o = np.where(it["mask_crop"], cand["o_mask_is"],
+                               cand["o_mask_not"]).astype(np.float32)
+            key, k_run = jax.random.split(key)
+            t0 = _time.perf_counter()
+            outs, _ = run_fn(k_run, it["cam"], it["obs"], prior_o,
+                             it["prior_t"], hyper)
+            jax.block_until_ready(outs)
+            wall = _time.perf_counter() - t0
+            row = it["row"]
+            if is_mcmc:
+                ll_all = np.asarray(outs["log_like"])
+                si, ci = np.unravel_index(np.argmax(ll_all), ll_all.shape)
+                best_t, best_q = (np.asarray(outs["t"][si][ci]),
+                                  np.asarray(outs["r"][si][ci]))
+                best_ll = float(ll_all[si, ci])
+            else:
+                ll = np.asarray(outs["log_like"][-1])
+                best = int(np.argmax(ll))
+                best_t, best_q = (np.asarray(outs["t"][-1][best]),
+                                  np.asarray(outs["r"][-1][best]))
+                best_ll = float(ll[best])
+            rows.append(dict(
+                scene_id=int(row.scene_id), img_id=int(row.img_id),
+                gt_id=int(row.gt_id), obj_id=int(row.obj_id),
+                t=best_t, q=best_q, score=best_ll, time=wall,
+                gt_t=np.asarray(row.gt_t), gt_R=np.asarray(row.gt_R),
+                cam_K=np.asarray(row.cam_K),
+                depth_scale=float(row.depth_scale),
+                visib_fract=float(getattr(row, "visib_fract", 1.0))))
+        return rows
+
+    return run_trial
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bop-dir", default="data/bop")
     ap.add_argument("--dataset", default="synth")
     ap.add_argument("--testset", default="val")
     ap.add_argument("--scenes", type=int, nargs="+", default=[1])
-    ap.add_argument("--trials", type=int, default=8)
+    ap.add_argument("--trials", type=int, default=50)
     ap.add_argument("--time-budget", type=float, default=0.25)
     ap.add_argument("--n-particles", type=int, default=100)
     ap.add_argument("--sampler", default="smc_mh")
     ap.add_argument("--experiment-name", default="smc_mh_hyperopt")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="search RNG seed; default derives from the sampler "
+                         "name so the per-sampler searches are independent")
+    ap.add_argument("--tiebreak-testset", default="val")
+    ap.add_argument("--tiebreak-scenes", type=int, nargs="+", default=None,
+                    help="val scenes for replaying near-tied candidates "
+                         "(default: none — ties reported, not broken)")
     args = ap.parse_args()
 
+    import jax
     import numpy as np
 
     from bayesianposeestimation.jl_tpu.parameters import Parameters
@@ -98,50 +246,92 @@ def main():
         savename,
     )
 
-    rng = np.random.default_rng(0)
-    best = (1.0, None)
-    history = []
-    for trial in range(args.trials):
-        cand = next_candidate(history, rng)
-        parameters = Parameters(
-            n_particles=args.n_particles, time_budget=args.time_budget,
-            pixel_sigma=cand["pixel_sigma"], association_sigma=cand["pixel_sigma"],
-            o_mask_is=cand["o_mask_is"], o_mask_not=cand["o_mask_not"],
-            sigma_t=(cand["sigma_t"],) * 3,
-            proposal_sigma_r=(cand["sigma_r"],) * 3,
-        )
-        costs = []
-        for scene_id in args.scenes:
-            # the candidate values are part of the cache key: a trial index
-            # alone would silently replay results computed with DIFFERENT
-            # parameters after any change to SPACE or the candidate sequence
+    seed = args.seed if args.seed is not None else (
+        zlib.crc32(args.sampler.encode()) & 0xFFFF)
+    rng = np.random.default_rng(seed)
+    print(f"search seed {seed} ({args.sampler}), {args.trials} trials, "
+          f"scenes {args.scenes}")
+    is_mcmc = args.sampler.startswith(("mh", "mtm"))
+    parameters = Parameters(n_particles=10 if is_mcmc else args.n_particles,
+                            time_budget=args.time_budget)
+    signature = dict(n_particles=parameters.n_particles,
+                     time_budget=args.time_budget)
+
+    runners = {s: build_scene_runner(s, args, parameters)
+               for s in args.scenes}
+
+    def trial_cost(cand, trial_tag, scenes, runner_map, testset):
+        """1 - VSD recall of a candidate over ``scenes`` (cached per scene)."""
+        n_correct = n_total = 0
+        for scene_id in scenes:
             config = {"sampler": args.sampler, "dataset": args.dataset,
-                      "testset": args.testset, "scene_id": scene_id,
-                      "trial": trial,
+                      "testset": testset, "scene_id": scene_id,
+                      "trial": trial_tag,
                       **{k: round(v, 6) for k, v in cand.items()}}
+            key = jax.random.PRNGKey(
+                (parameters.seed + scene_id * 7919) % (2**31))
             result, _ = produce_or_load(
-                lambda c: scene_inference(c, args.bop_dir, parameters),
+                lambda c: {"result_rows": runner_map[scene_id](cand, key)},
                 config, datadir("exp_raw", args.experiment_name),
-                filename=savename(config))
+                filename=savename(config), signature=signature)
             errors, _ = produce_or_load(
                 lambda c: evaluate_scene(c, args.bop_dir, parameters,
                                          result["result_rows"]),
                 config, datadir("exp_pro", args.experiment_name, "errors"),
-                filename=savename(config))
-            vsd_rec = ev.recall(*ev.threshold_errors(errors["vsd"], ev.BOP18_THETA))
-            costs.append(1.0 - vsd_rec)
-        cost = float(np.mean(costs))
+                filename=savename(config), signature=signature)
+            nc, nt = ev.threshold_errors(errors["vsd"], ev.BOP18_THETA)
+            n_correct += nc
+            n_total += nt
+        return 1.0 - (n_correct / max(n_total, 1)), n_total
+
+    n_explore = max(6, args.trials // 5)
+    history = []
+    n_gt_train = 1
+    for trial in range(args.trials):
+        cand = next_candidate(history, rng, n_explore)
+        cost, n_gt_train = trial_cost(cand, trial, args.scenes, runners,
+                                      args.testset)
         history.append(dict(trial=trial, **cand, cost=cost))
-        print(f"trial {trial}: {cand} -> cost {cost:.3f}")
-        if cost < best[0]:
-            best = (cost, cand)
+        print(f"trial {trial}: {({k: round(v, 4) for k, v in cand.items()})} "
+              f"-> cost {cost:.4f} (n={n_gt_train})")
 
     import pandas as pd
 
     out = datadir("exp_pro", args.experiment_name, "trials.csv")
     out.parent.mkdir(parents=True, exist_ok=True)
     pd.DataFrame(history).to_csv(out, index=False)
-    print(f"best: cost {best[0]:.3f} with {best[1]}")
+
+    # --- tie-break by val replay (VERDICT r4 next #5: the winner must beat
+    # the runner-up by more than one train gt, or be decided on held-out
+    # data instead of file order) ---
+    best_cost = min(h["cost"] for h in history)
+    print(f"best train cost {best_cost:.4f} over {n_gt_train} gts")
+    # candidates within one train gt of the best are statistical ties
+    near = [h for h in history
+            if h["cost"] <= best_cost + 1.0 / max(n_gt_train, 1) + 1e-9]
+    print(f"{len(near)} candidate(s) within one train gt of the best")
+    chosen = sorted(near, key=lambda h: h["cost"])[0]
+    if args.tiebreak_scenes and len(near) > 1:
+        print(f"replaying {len(near)} tied candidates on "
+              f"{args.tiebreak_testset} scenes {args.tiebreak_scenes}")
+        val_runners = {s: build_scene_runner(
+            s, args, parameters, testset=args.tiebreak_testset)
+            for s in args.tiebreak_scenes}
+        scored = []
+        for h in near:
+            cand = {name: h[name] for name, *_ in SPACE}
+            vcost, vn = trial_cost(cand, f"val{h['trial']}",
+                                   args.tiebreak_scenes, val_runners,
+                                   args.tiebreak_testset)
+            scored.append((vcost, h["cost"], h))
+            print(f"  trial {h['trial']}: val cost {vcost:.4f} (n={vn})")
+        scored.sort(key=lambda x: (x[0], x[1]))
+        chosen = scored[0][2]
+        pd.DataFrame([dict(trial=h["trial"], val_cost=v, train_cost=t)
+                      for v, t, h in scored]).to_csv(
+            out.parent / "tiebreak_val.csv", index=False)
+    cand = {name: chosen[name] for name, *_ in SPACE}
+    print(f"chosen: trial {chosen['trial']} cost {chosen['cost']:.4f} {cand}")
     print(f"wrote {out}")
 
 

@@ -148,3 +148,53 @@ def test_conditioned_chain_no_recompile(key):
     assert np.isfinite(np.asarray(outs2["log_prob"])).all()
     # cameras are traced: one cache entry despite different intrinsics
     assert run._cache_size() == 1
+
+
+@pytest.mark.parametrize("sampler_name", ["smc_mh", "mh_sampler"])
+def test_tuned_chain_matches_conditioned(key, sampler_name):
+    """make_tuned_chain with hyper == the params values must reproduce
+    make_conditioned_chain exactly (same keys, same math — the traced
+    hyperparameters only change HOW the scalars reach the kernel), and
+    different candidates must share one compiled program."""
+    from bayesianposeestimation.jl_tpu.camera import CvCamera
+    from bayesianposeestimation.jl_tpu.models import experiment_samplers as es
+    from bayesianposeestimation.jl_tpu.models.fused import (
+        make_conditioned_chain,
+        make_tuned_chain,
+    )
+    from bayesianposeestimation.jl_tpu.parameters import Parameters
+    from bayesianposeestimation.jl_tpu.utils.mesh_io import cube_mesh
+
+    params = Parameters(width=16, height=16, n_particles=16, n_steps=4,
+                        raster_chunk=64, pixel_sigma=0.004,
+                        association_sigma=0.004, sigma_t=(0.02, 0.02, 0.02),
+                        proposal_sigma_r=(0.5, 0.5, 0.5))
+    mesh = cube_mesh(0.1)
+    factory = getattr(es, sampler_name)
+    n_chains = None if sampler_name == "smc_mh" else 1
+    ref = make_conditioned_chain(params, mesh.vertices, mesh.faces,
+                                 "association", factory, 4, n_chains=n_chains)
+    tuned = make_tuned_chain(params, mesh.vertices, mesh.faces,
+                             "association", factory, 4, n_chains=n_chains)
+    cam = CvCamera(width=16, height=16, f_x=20.0, f_y=20.0, c_x=7.5, c_y=7.5)
+    z = jnp.ones((16, 16))
+    o = jnp.full((16, 16), 0.7)
+    t0 = jnp.array([0.0, 0.0, 1.0])
+    hyper = dict(pixel_sigma=params.pixel_sigma,
+                 association_sigma=params.association_sigma,
+                 sigma_t=params.sigma_t,
+                 proposal_sigma_r=params.proposal_sigma_r)
+    outs_ref, _ = ref(key, cam, z, o, t0)
+    outs_tuned, _ = tuned(key, cam, z, o, t0, hyper)
+    for k in ("t", "r", "log_like"):
+        np.testing.assert_allclose(np.asarray(outs_ref[k]),
+                                   np.asarray(outs_tuned[k]), rtol=1e-6,
+                                   atol=1e-6)
+    # a different candidate reuses the compiled program and changes results
+    hyper2 = dict(hyper, pixel_sigma=0.012, association_sigma=0.012,
+                  sigma_t=(0.04, 0.04, 0.04),
+                  proposal_sigma_r=(1.5, 1.5, 1.5))
+    outs2, _ = tuned(key, cam, z, o, t0, hyper2)
+    assert tuned._cache_size() == 1
+    assert not np.allclose(np.asarray(outs2["log_like"]),
+                           np.asarray(outs_tuned["log_like"]))
