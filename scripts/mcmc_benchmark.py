@@ -67,14 +67,16 @@ def main():
                                      result["result_rows"]),
             config, datadir("exp_pro", name, "errors"),
             filename=savename(config), signature=tuned)
+        n_vsd = ev.threshold_errors(errors["vsd"], ev.BOP18_THETA)
+        vsd_lo, vsd_hi = ev.recall_ci(*n_vsd)
         rows.append(dict(
             **{k: v for k, v in config.items() if k not in ("dataset", "testset")},
             adds_recall=ev.recall(*ev.threshold_errors(errors["adds"],
                                                        ev.ADDS_THETA)),
-            vsd_recall=ev.recall(*ev.threshold_errors(errors["vsd"],
-                                                      ev.BOP18_THETA)),
+            vsd_recall=ev.recall(*n_vsd),
             vsdbop_recall=ev.recall(*ev.threshold_errors(
                 errors["vsdbop"], np.asarray(ev.BOP19_THRESHOLDS))),
+            n_gt=n_vsd[1], vsd_ci_lo=vsd_lo, vsd_ci_hi=vsd_hi,
             mean_pose_time=float(np.mean([r["time"]
                                           for r in result["result_rows"]])),
         ))
@@ -100,7 +102,13 @@ def main():
     for (sampler, n_p), g in df.groupby(["sampler", "n_particles"]):
         g = g.sort_values("mean_pose_time")
         label = sampler if sampler.startswith("mh") else f"{sampler} T={n_p}"
-        ax.plot(g.mean_pose_time, g.vsd_recall, "o-", label=label)
+        # Wilson error bars: per-cell recalls rest on n_gt gts — adjacent
+        # cells whose intervals overlap are noise, not a finding (r4
+        # VERDICT weak #3: a 0.92->0.67 swing at 12 gts looked like a curve)
+        yerr = np.clip(np.stack([g.vsd_recall - g.vsd_ci_lo,
+                                 g.vsd_ci_hi - g.vsd_recall]), 0.0, None)
+        ax.errorbar(g.mean_pose_time, g.vsd_recall, yerr=yerr, marker="o",
+                    capsize=2, label=label)
     ax.set_xlabel("mean inference time [s]")
     ax.set_ylabel("VSD recall")
     ax.legend(fontsize=7)

@@ -150,14 +150,20 @@ def test_band_cull_matches_dense(key):
 def _assert_renders_match(a, b):
     """Compaction is a pure permutation of per-triangle work under an
     order-invariant max, so per-(triangle, pixel) math is identical — but the
-    raster dot has a different M extent (cap vs 3*chunk), and XLA CPU emits
+    raster dot has a different M extent (cap vs 2*chunk), and XLA CPU emits
     a different K=6 reduction order for different shapes, so interpret-mode
     results can differ by ~1 ulp (and an edge pixel could in principle flip).
-    Assert near-bitwise: <0.1% differing pixels, all within float noise."""
+    Assert near-bitwise: <0.1% differing pixels, all within float noise.
+
+    Tolerance: the 1/depth value is DERIVED from the edge dots
+    (d = gamma + alpha*W0 + beta*W1, see ops/pallas_raster.py), so an
+    edge-dot reduction-order ulp — amplified by the cancellation factor of
+    slivery triangles' edge forms — lands in the depth as a few 1e-5
+    relative (~10 um); rtol reflects that, not bitwise equality."""
     a, b = np.asarray(a), np.asarray(b)
     assert np.mean((a > 0) != (b > 0)) < 1e-3
     both = (a > 0) & (b > 0)
-    np.testing.assert_allclose(a[both], b[both], rtol=1e-5)
+    np.testing.assert_allclose(a[both], b[both], rtol=5e-5)
 
 
 def test_compact_matches_dense(key):
