@@ -22,22 +22,23 @@ Kernel design (TPU v5e, see /opt/skills/guides/pallas_guide.md):
   — two edge functions, pre-multiplied by sign(area) so the inside test is
   branch-free. Only the raster dot + inside-test epilogue loop per pose.
 * Every form is pre-divided by the signed area: the inside test becomes
-  ``min(w0', w1') >= -1e-5 and w0'+w1' <= 1+1e-5``. Neither the THIRD edge
-  function nor the perspective-correct 1/depth value rides the MXU
-  contraction: barycentric edge numerators sum to the double area
-  identically (w2' = 1 - w0' - w1'), and the depth numerator is a
-  barycentric combination d = Σ iz_i w_i' = gamma + alpha*W0 + beta*W1
-  reconstructed in the epilogue from per-TRIANGLE scalars (broadcast as
-  [chunk, 1] columns via one plane transpose per program). The raster dot
-  output — the measured MXU-streaming bound at crop resolutions — thus
-  carries HALF the M rows of the naive 4-form layout. The per-pixel z-min
-  is a running MAX over d with a single exact divide per pixel after the
-  chunk loop — no per-(triangle, pixel) reciprocal, and the constant area
-  form disappears.
+  ``min(w0', w1') >= -1e-5 and w0'+w1' <= 1+1e-5``. The THIRD edge function
+  never rides the MXU contraction (barycentric edge numerators sum to the
+  double area identically, so w2' = 1 - w0' - w1'); the perspective-correct
+  1/depth value rides it only at SMALL pixel counts (``depth_in_dot``,
+  where the VPU epilogue is the bound and an extra M-row group is nearly
+  free) — at large crops it is instead reconstructed in the epilogue as the
+  barycentric combination d = Σ iz_i w_i' = gamma + alpha*W0 + beta*W1 from
+  per-TRIANGLE scalars (broadcast as [chunk, 1] columns via one plane
+  transpose per program), so the dot output — the measured MXU-streaming
+  bound there — carries HALF the M rows of the naive 4-form layout. The
+  per-pixel z-min is a running MAX over d with a single exact divide per
+  pixel after the chunk loop — no per-(triangle, pixel) reciprocal, and the
+  constant area form disappears.
 * The forms live in [8, f_pad] VMEM coefficient planes (pose = sublane);
   the triangle axis streams through in static chunks of ``chunk``: per
-  (pose, chunk) ONE [6, 2*chunk] x [6, P] MXU contraction evaluates both
-  edge groups (concatenated along the M axis) at every pixel.
+  (pose, chunk) ONE [6, n_dot*chunk] x [6, P] MXU contraction evaluates all
+  dot groups (concatenated along the M axis) at every pixel.
 * Geometry matmuls use a manual bf16x2 scheme: the pixel grid is centered on
   a static half-integer point (EXACT in bf16; the true principal point is
   folded into the traced coefficients) and each [3, chunk] slice is split
@@ -82,16 +83,32 @@ __all__ = ["pallas_render_score", "pallas_render_depth", "expand_triangle_rows",
 
 LANE = 128
 # Coefficient plane groups: two edge-function forms L0/area, L1/area (3
-# coefficients each) plus the per-triangle depth-combination scalars
-# (alpha, beta, gamma) — 9 [PB, f_pad] planes total.
+# coefficients each) plus a third depth group — either the 1/depth form's
+# d_a/d_b/d_c coefficients (depth_in_dot) or the per-triangle
+# depth-combination scalars alpha/beta/gamma — 9 [PB, f_pad] planes total.
 N_FORMS = 3
-# Only the two edge groups go through the raster dot. The third edge
-# function is DERIVED (barycentric edge numerators sum to the double area
-# identically, so after pre-division by the signed area w2' = 1 - w0' - w1')
-# and so is the 1/depth value (d = gamma + alpha*W0 + beta*W1, per-triangle
-# scalars broadcast in the epilogue): the raster dot output — the measured
-# MXU-streaming bound at crop resolutions — carries 2 M-row groups, not 4.
-N_DOT_GROUPS = 2
+# The third edge function NEVER rides the raster dot (barycentric edge
+# numerators sum to the double area identically, so after pre-division by
+# the signed area w2' = 1 - w0' - w1'). The 1/depth value has TWO layouts:
+#   depth_in_dot=True   d rides the dot as a third M-row group (3-group dot)
+#   depth_in_dot=False  d is reconstructed in the epilogue from per-triangle
+#                       scalars: d = gamma + alpha*W0 + beta*W1 (2-group dot,
+#                       ~4 extra VPU ops per (triangle, pixel))
+# Measured crossover on v5e (r5 inference_time + crop50 decision matrix):
+# at small crops the epilogue's VPU ops are the bound and an extra MXU row
+# group is nearly free — reconstruction cost ~1.6x e2e at 25 px
+# (314k -> 195k hyp/s, 250 particles); at 50 px the MXU/VMEM streaming of
+# the [rows, pixels] dot output is the bound and the 2-group layout wins
+# (89.4k -> 103.9k hyp/s) — it also frees enough of the chunk VMEM budget
+# to reach the winning single-chunk config. Auto policy: depth rides the
+# dot up to this padded pixel count (30x30 flagship = 1024 lanes included).
+_DEPTH_IN_DOT_MAX_PPAD = 1024
+
+
+def _resolve_depth_in_dot(depth_in_dot, p_pad):
+    if depth_in_dot is None:
+        return p_pad <= _DEPTH_IN_DOT_MAX_PPAD
+    return bool(depth_in_dot)
 
 
 # Grid-centered half-integer pixel coordinates are bf16-exact only while
@@ -140,33 +157,35 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-# Per-chunk dot output is [N_DOT_GROUPS*chunk, p_pad] f32; keep it around
-# this budget. Measured on v5e: at p_pad=1024 chunk 640-1280 (10-21 MiB) is
-# fastest, at p_pad=3712 chunk 256 (14 MiB) beats 512 (29 MiB); the r5
-# 50x50 decision matrix (data/exp_pro/kernel_profile/
-# crop50_decision_matrix_r5.log) showed the single-chunk config beating the
-# budget-constrained auto choice 7.99 vs 9.06 us/pose at the 3-group dot —
-# with the 2-group dot the same single-chunk config fits the budget.
+# Per-chunk dot output is [n_dot*chunk, p_pad] f32 (n_dot = 3 or 2 per the
+# depth_in_dot policy); keep it around this budget. Measured on v5e: at
+# p_pad=1024 chunk 640-1280 (10-21 MiB) is fastest, at p_pad=3712 chunk 256
+# (14 MiB) beats 512 (29 MiB); the r5 50x50 decision matrix
+# (data/exp_pro/kernel_profile/crop50_decision_matrix_r5.log) showed the
+# single-chunk config beating the budget-constrained auto choice 7.99 vs
+# 9.06 us/pose at the 3-group dot — with the 2-group dot the same
+# single-chunk config fits the budget.
 _CHUNK_VMEM_BUDGET = 16 * 2**20
 
 
-def resolve_chunk(n_faces, n_pix, chunk=None):
+def resolve_chunk(n_faces, n_pix, chunk=None, depth_in_dot=None):
     """The triangle-chunk size a render at ``n_pix`` pixels will use: the
     explicit ``chunk`` or the VMEM-budget auto choice. Exposed so callers can
     pre-sort faces chunk-aligned (see spatial_sort_faces)."""
     if chunk is not None:
         return chunk
-    return _auto_chunk(n_faces, _round_up(n_pix, LANE))
+    return _auto_chunk(n_faces, _round_up(n_pix, LANE), depth_in_dot)
 
 
-def _auto_chunk(n_faces, p_pad):
+def _auto_chunk(n_faces, p_pad, depth_in_dot=None):
     """Chunk choice: multiple of LANE, dot output within the VMEM budget, and
     minimal TOTAL padded rows n_chunks*chunk (a chunk that barely exceeds a
     divisor of the face count can otherwise waste up to ~2x dot work — e.g.
     1280 faces at chunk 1024 pads to 2048). Ties go to the LARGER chunk:
     measured on v5e, each extra chunk costs ~0.4 us/pose of split/concat/dot
     setup — far more than finer-grained liveness culling saves."""
-    by_budget = _CHUNK_VMEM_BUDGET // (N_DOT_GROUPS * 4 * p_pad)
+    n_dot = 3 if _resolve_depth_in_dot(depth_in_dot, p_pad) else 2
+    by_budget = _CHUNK_VMEM_BUDGET // (n_dot * 4 * p_pad)
     cmax = max(LANE, by_budget // LANE * LANE)
     f_ceil = _round_up(n_faces, LANE)
     best_c = LANE
@@ -406,7 +425,8 @@ def _compact_cap(f_pad):
 
 def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
                  backface_cull, score_fn=None, with_mu=False, band_cull=True,
-                 compact=False, paired=False, with_hyper=False):
+                 compact=False, paired=False, with_hyper=False,
+                 depth_in_dot=False):
     """Kernel body. Refs: cam (SMEM [1,8]), pose (VMEM [1, POSE_BLOCK, 8]),
     tri (VMEM [9,f_pad]) [, z (VMEM [1,p_pad]), prior (VMEM [1,p_pad])],
     outputs, then scratch: 9 coefficient planes (VMEM [POSE_BLOCK, f_pad],
@@ -423,6 +443,7 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
     raster reads single-sublane [1, chunk] slices back.
     """
     n_chunks = f_pad // chunk
+    n_dot = 3 if depth_in_dot else 2
     PB = POSE_BLOCK
     if 1.0 / near >= 0.5 * _INSIDE_SCALE * _INSIDE_TOL:
         # the branch-free inside test needs every inside pixel's scaled edge
@@ -464,10 +485,10 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         return run
 
     def split_lhs(form_refs, p, sl):
-        """[6, 2*m] raster LHS for lane slice ``sl``: hi rows 0-2 / lo rows
-        3-5 (bf16x2 mantissa split), the two edge groups along lanes."""
+        """[6, n_dot*m] raster LHS for lane slice ``sl``: hi rows 0-2 / lo
+        rows 3-5 (bf16x2 mantissa split), the dot groups along lanes."""
         his, los = [], []
-        for g in range(N_DOT_GROUPS):
+        for g in range(n_dot):
             rows = jnp.concatenate(
                 [form_refs[3 * g + k][p:p + 1, sl] for k in range(3)], axis=0)
             hi, lo = _bf16_split(rows)
@@ -478,12 +499,12 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
              jnp.concatenate(los, axis=1)], axis=0)
 
     def split_bigs(form_refs, p, sl):
-        """Per edge group: [6, w] bf16 rows (hi a,b,c over lo a,b,c) — kept
+        """Per dot group: [6, w] bf16 rows (hi a,b,c over lo a,b,c) — kept
         as separate values so every permutation-dot result sits at
         sublane offset 0 (Mosaic cannot lane-concat slices taken at
         different sublane offsets of one larger vreg)."""
         bigs = []
-        for g in range(N_DOT_GROUPS):
+        for g in range(n_dot):
             rows = jnp.concatenate(
                 [form_refs[3 * g + k][p:p + 1, sl] for k in range(3)], axis=0)
             hi, lo = _bf16_split(rows)
@@ -525,19 +546,25 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
             for big_g in bigs]
         return jnp.concatenate(comps, axis=1)
 
-    def make_epilogue(maxd_ref, p, m, combo):
+    def make_epilogue(maxd_ref, p, m, combo=None):
         """Branch-free inside-test + running z-numerator max over a dot
-        output of ``m`` triangle rows per edge group (see _INSIDE_SCALE).
-        ``combo`` = (alpha, beta, gamma) [m, 1] per-triangle columns: the
-        1/depth value is reconstructed as d = gamma + alpha*W0 + beta*W1
-        instead of riding the dot as a third M-row group."""
-        alpha, beta, gamma = combo
+        output of ``m`` triangle rows per dot group (see _INSIDE_SCALE).
+        With ``combo`` = (alpha, beta, gamma) [m, 1] per-triangle columns,
+        the 1/depth value is reconstructed as d = gamma + alpha*W0 + beta*W1
+        (2-group dot); with combo=None it rides the dot as the third M-row
+        group (depth_in_dot)."""
+        if combo is None:
+            assert depth_in_dot
 
         def epilogue(out, bs, be):
             w0 = out[0 * m:1 * m]
             w1 = out[1 * m:2 * m]
             w2 = _INSIDE_C - (w0 + w1)
-            dd = gamma + alpha * w0 + beta * w1
+            if combo is None:
+                dd = out[2 * m:3 * m]
+            else:
+                alpha, beta, gamma = combo
+                dd = gamma + alpha * w0 + beta * w1
             cand = jnp.minimum(jnp.minimum(jnp.minimum(w0, w1), w2), dd)
             maxd_ref[p:p + 1, bs:be] = jnp.maximum(
                 maxd_ref[p:p + 1, bs:be],
@@ -624,30 +651,36 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         # triangles get zero forms (inside-true but d' = 0, lost to the max).
         factor = jnp.where(valid, 1.0 / jnp.where(valid, area, 1.0), 0.0)
 
-        # w2' is derived at raster time (w2' = 1 - w0' - w1') and so is the
-        # 1/depth value: only the TWO edge groups go through the raster dot
-        # (the measured bound at crop resolutions is the MXU streaming the
-        # [rows, pixels] dot output — dropping the depth group cuts that
-        # volume by a third). The edge groups carry the
-        # _INSIDE_SCALE/_INSIDE_TOL folding (see the constants above) so the
-        # epilogue is branch-free; the epilogue then reconstructs
+        # w2' is derived at raster time (w2' = 1 - w0' - w1'). The edge
+        # groups carry the _INSIDE_SCALE/_INSIDE_TOL folding (see the
+        # constants above) so the epilogue is branch-free. The 1/depth value
+        # takes one of two layouts (see _DEPTH_IN_DOT_MAX_PPAD):
+        # depth_in_dot stores the d-form coefficients d_a/d_b/d_c in planes
+        # 6-8 and the dot emits d' = 1/depth rows directly; otherwise planes
+        # 6-8 hold per-TRIANGLE scalars and the epilogue reconstructs
         #   d = gamma + alpha*W0 + beta*W1
         # from the barycentric identity d = sum_i iz_i * w_i' with
-        # w_i' = W_i/SCALE - TOL, via three per-TRIANGLE scalars (planes
-        # 6-8, broadcast as [chunk, 1] columns after a transpose). For
-        # culled triangles factor=0 -> W0=W1=SCALE*TOL > 0 (inside-test
-        # passes vacuously) but alpha=beta=gamma=0 -> d=0, so they lose to
-        # the background max.
+        # w_i' = W_i/SCALE - TOL (scalars broadcast as [chunk, 1] columns
+        # after a transpose). Either way culled triangles have factor=0 ->
+        # W0=W1=SCALE*TOL > 0 (inside-test passes vacuously) but d=0, so
+        # they lose to the background max.
         fK = factor * _INSIDE_SCALE
-        validm = valid.astype(jnp.float32)
-        alpha = validm * (iz0 - iz2) * (1.0 / _INSIDE_SCALE)
-        beta = validm * (iz1 - iz2) * (1.0 / _INSIDE_SCALE)
-        gamma = validm * (iz2 - _INSIDE_TOL * (iz0 + iz1 - 2.0 * iz2))
+        if depth_in_dot:
+            d_a = iz0 * a0 + iz1 * a1 + iz2 * a2
+            d_b = iz0 * b0 + iz1 * b1 + iz2 * b2
+            d_c = iz0 * c0 + iz1 * c1 + iz2 * c2
+            depth_planes = [d_a * factor, d_b * factor, d_c * factor]
+        else:
+            validm = valid.astype(jnp.float32)
+            alpha = validm * (iz0 - iz2) * (1.0 / _INSIDE_SCALE)
+            beta = validm * (iz1 - iz2) * (1.0 / _INSIDE_SCALE)
+            gamma = validm * (iz2 - _INSIDE_TOL * (iz0 + iz1 - 2.0 * iz2))
+            depth_planes = [alpha, beta, gamma]
         coeffs = [a0 * fK, b0 * fK,
                   (c0 * factor + _INSIDE_TOL) * _INSIDE_SCALE,
                   a1 * fK, b1 * fK,
                   (c1 * factor + _INSIDE_TOL) * _INSIDE_SCALE,
-                  alpha, beta, gamma]
+                  *depth_planes]
         for k, val in enumerate(coeffs):
             form_refs[k][:] = val  # full [PB, f_pad] aligned store
 
@@ -704,10 +737,11 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
 
         s_base = jax.lax.broadcasted_iota(jnp.int32, (cap, f_pad), 0).astype(
             jnp.float32)  # [cap, f_pad]: slot index per output row
-        combo_T = depth_combo_T(form_refs, slice(None))  # 3x [f_pad, PB]
+        combo_T = (None if depth_in_dot
+                   else depth_combo_T(form_refs, slice(None)))  # 3x [f_pad, PB]
 
         for p in range(PB):
-            bigs = split_bigs(form_refs, p, slice(None))  # 2x [6, f_pad]
+            bigs = split_bigs(form_refs, p, slice(None))  # n_dot x [6, f_pad]
             slot_row = slot[p:p + 1, :]  # [1, f_pad]
 
             for r in range(n_regions):
@@ -715,9 +749,11 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
                 @pl.when(live_ref[p] > r * cap)
                 def _(r=r):
                     sel = (s_base + (r * cap) == slot_row).astype(jnp.bfloat16)
-                    epilogue = make_epilogue(maxd_ref, p, cap,
-                                             permute_combo(combo_T, sel, p))
-                    # [6, 2*cap]: hi rows 0-2 / lo rows 3-5, groups along lanes
+                    epilogue = make_epilogue(
+                        maxd_ref, p, cap,
+                        None if depth_in_dot
+                        else permute_combo(combo_T, sel, p))
+                    # [6, n_dot*cap]: hi rows 0-2 / lo rows 3-5, groups along lanes
                     pipelined_dense(permute_lhs(bigs, sel), grid, epilogue)
 
         maxd = maxd_ref[:]
@@ -781,8 +817,10 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
         s_base = jax.lax.broadcasted_iota(
             jnp.int32, (_PAIR_OVERFLOW, f_half), 0).astype(jnp.float32)
         # transposed depth-combo planes: selected-A halves and R halves
-        combo_T_a = depth_combo_T(form_refs, slice(0, f_half))
-        combo_T_r = depth_combo_T(form_refs, slice(f_half, None))
+        combo_T_a = (None if depth_in_dot
+                     else depth_combo_T(form_refs, slice(0, f_half)))
+        combo_T_r = (None if depth_in_dot
+                     else depth_combo_T(form_refs, slice(f_half, None)))
 
         for p in range(PB):
             # ---- region A: the selected pair faces, chunked; each chunk
@@ -793,8 +831,9 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
             # fences the dot/epilogue pipeline), and a whole-mesh A region
             # is live for any on-screen pose anyway. ----
             def region_a(ca, p=p):
-                combo_a = [ct[ca * chunk:(ca + 1) * chunk, p:p + 1]
-                           for ct in combo_T_a]
+                combo_a = (None if depth_in_dot
+                           else [ct[ca * chunk:(ca + 1) * chunk, p:p + 1]
+                                 for ct in combo_T_a])
                 epilogue_a = make_epilogue(maxd_ref, p, chunk, combo_a)
                 lhs = split_lhs(form_refs, p, pl.ds(ca * chunk, chunk))
                 pipelined_dense(lhs, grid, epilogue_a)
@@ -811,7 +850,7 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
                         region_a(ca)
 
             # ---- overflow regions: compacted both-live R faces ----
-            bigs = split_bigs(form_refs, p, slice(f_half, None))  # 2x [6, f_half]
+            bigs = split_bigs(form_refs, p, slice(f_half, None))  # n_dot x [6, f_half]
             slot_row = slot[p:p + 1, :]
 
             for r in range(n_over):
@@ -822,7 +861,8 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
                         jnp.bfloat16)
                     epilogue_o = make_epilogue(
                         maxd_ref, p, _PAIR_OVERFLOW,
-                        permute_combo(combo_T_r, sel, p))
+                        None if depth_in_dot
+                        else permute_combo(combo_T_r, sel, p))
                     pipelined_dense(permute_lhs(bigs, sel), grid, epilogue_o)
 
         maxd = maxd_ref[:]
@@ -834,17 +874,19 @@ def _make_kernel(width, height, p_pad, f_pad, chunk, near, far, n_pix_valid,
                     chunk_live_ref)
         grid = grid_rows()
         maxd_ref[:] = jnp.zeros((PB, p_pad), jnp.float32)
-        combo_T = depth_combo_T(form_refs, slice(None))  # 3x [f_pad, PB]
+        combo_T = (None if depth_in_dot
+                   else depth_combo_T(form_refs, slice(None)))  # 3x [f_pad, PB]
 
         for p in range(PB):
             for c in range(n_chunks):
 
                 @pl.when(chunk_live_ref[p * n_chunks + c] > 0)
                 def _():
-                    combo = [ct[c * chunk:(c + 1) * chunk, p:p + 1]
-                             for ct in combo_T]
+                    combo = (None if depth_in_dot
+                             else [ct[c * chunk:(c + 1) * chunk, p:p + 1]
+                                   for ct in combo_T])
                     epilogue = make_epilogue(maxd_ref, p, chunk, combo)
-                    # [6, 2*chunk]: groups along M, lo correction along K
+                    # [6, n_dot*chunk]: groups along M, lo correction along K
                     # (the MXU pads K=3 anyway — the lo pass is free)
                     lhs = split_lhs(form_refs, p, pl.ds(c * chunk, chunk))
 
@@ -987,10 +1029,10 @@ def _resolve_paired(paired, band_cull, compact, n_chunks, f_pad, n_faces,
     return True
 
 
-def _paired_chunk(n_pair, p_pad):
+def _paired_chunk(n_pair, p_pad, depth_in_dot=None):
     """A-chunk size for a paired layout of ``n_pair`` slots: the dense
     auto-chunk of the HALF (always a divisor of the lane-aligned half)."""
-    return _auto_chunk(n_pair // 2, p_pad)
+    return _auto_chunk(n_pair // 2, p_pad, depth_in_dot)
 
 
 def paired_layout_ok(n_faces, n_pix, chunk=None):
@@ -1009,10 +1051,12 @@ def paired_layout_ok(n_faces, n_pix, chunk=None):
 
 
 @partial(jax.jit, static_argnames=("height", "width", "chunk", "backface_cull",
-                                   "band_cull", "compact", "paired"))
+                                   "band_cull", "compact", "paired",
+                                   "depth_in_dot"))
 def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
                         height=None, width=None, chunk=None, backface_cull=True,
-                        band_cull=False, compact=None, paired=False):
+                        band_cull=False, compact=None, paired=False,
+                        depth_in_dot=None):
     """Drop-in Pallas replacement for rasterize.render_depth_batch:
     [N] poses -> [N, H, W] z-depth maps (0 = background).
 
@@ -1027,9 +1071,10 @@ def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
     n = t.shape[0]
     n_pix = height * width
     p_pad = _round_up(n_pix, LANE)
+    depth_in_dot = _resolve_depth_in_dot(depth_in_dot, p_pad)
     if chunk is None:
-        chunk = (_paired_chunk(faces.shape[0], p_pad) if paired
-                 else _auto_chunk(faces.shape[0], p_pad))
+        chunk = (_paired_chunk(faces.shape[0], p_pad, depth_in_dot) if paired
+                 else _auto_chunk(faces.shape[0], p_pad, depth_in_dot))
     f_pad = _round_up(faces.shape[0], chunk)
     n_chunks = f_pad // chunk
 
@@ -1039,7 +1084,8 @@ def pallas_render_depth(verts, faces, cam: CvCamera, t, q,
     tri_rows = expand_triangle_rows(verts, faces, f_pad)
     kernel = _make_kernel(width, height, p_pad, f_pad, chunk,
                           float(cam.near), float(cam.far), n_pix, backface_cull,
-                          band_cull=band_cull, compact=compact, paired=paired)
+                          band_cull=band_cull, compact=compact, paired=paired,
+                          depth_in_dot=depth_in_dot)
 
     pose_rows = _pose_rows(t, q)
     n_prog = pose_rows.shape[0]
@@ -1067,11 +1113,12 @@ def _flatten_pad_image(img, p_pad):
 
 @partial(jax.jit, static_argnames=("height", "width", "chunk", "score_fn",
                                    "return_mu", "backface_cull", "band_cull",
-                                   "compact", "paired"))
+                                   "compact", "paired", "depth_in_dot"))
 def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
                         score_fn, height=None, width=None, chunk=None,
                         return_mu=False, backface_cull=True, band_cull=False,
-                        compact=None, paired=False, hyper=None):
+                        compact=None, paired=False, hyper=None,
+                        depth_in_dot=None):
     """Fully-fused transform + render + associate + score.
 
     ``score_fn(mu, z, prior_o) -> (ell_px, o)``: elementwise per-pixel log
@@ -1092,9 +1139,10 @@ def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
     n = t.shape[0]
     n_pix = height * width
     p_pad = _round_up(n_pix, LANE)
+    depth_in_dot = _resolve_depth_in_dot(depth_in_dot, p_pad)
     if chunk is None:
-        chunk = (_paired_chunk(faces.shape[0], p_pad) if paired
-                 else _auto_chunk(faces.shape[0], p_pad))
+        chunk = (_paired_chunk(faces.shape[0], p_pad, depth_in_dot) if paired
+                 else _auto_chunk(faces.shape[0], p_pad, depth_in_dot))
     f_pad = _round_up(faces.shape[0], chunk)
     n_chunks = f_pad // chunk
 
@@ -1110,7 +1158,8 @@ def pallas_render_score(verts, faces, cam: CvCamera, t, q, z_img, prior_o,
                           float(cam.near), float(cam.far), n_pix, backface_cull,
                           score_fn=score_fn, with_mu=return_mu,
                           band_cull=band_cull, compact=compact, paired=paired,
-                          with_hyper=hyper is not None)
+                          with_hyper=hyper is not None,
+                          depth_in_dot=depth_in_dot)
 
     pose_rows = _pose_rows(t, q)
     n_prog = pose_rows.shape[0]

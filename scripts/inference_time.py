@@ -68,8 +68,19 @@ def main():
 
     import pandas as pd
 
-    Path(args.csv).parent.mkdir(parents=True, exist_ok=True)
-    pd.DataFrame(rows).to_csv(args.csv, index=False)
+    # merge-by-key: a partial re-run (e.g. --resolutions 25 after kernel
+    # work that only affects small crops) updates those rows in place and
+    # keeps the rest of the checked-in table
+    df = pd.DataFrame(rows)
+    csv = Path(args.csv)
+    if csv.exists():
+        old = pd.read_csv(csv)
+        keep = old[~(old.resolution.isin(df.resolution)
+                     & old.n_particles.isin(df.n_particles))]
+        df = pd.concat([keep, df], ignore_index=True).sort_values(
+            ["resolution", "n_particles"])
+    csv.parent.mkdir(parents=True, exist_ok=True)
+    df.to_csv(csv, index=False)
     print(f"wrote {args.csv}")
 
 

@@ -334,17 +334,20 @@ def test_auto_chunk_minimizes_padding():
     # PF config: 320 faces, 4800 px -> p_pad 4864
     c = _auto_chunk(320, 4864)
     assert _round_up(320, c) == 384  # best possible with 128-multiples
-    # chunk stays within the VMEM budget for large pixel counts
+    # chunk stays within the VMEM budget for large pixel counts (the dot
+    # group count follows the depth_in_dot policy: 3 at small p_pad, 2 past
+    # the crossover)
     from bayesianposeestimation.jl_tpu.ops.pallas_raster import (
         _CHUNK_VMEM_BUDGET,
-        N_FORMS,
+        _resolve_depth_in_dot,
     )
 
     for f, p in [(5000, 1024), (1280, 65536), (100, 128)]:
         c = _auto_chunk(f, p)
+        n_dot = 3 if _resolve_depth_in_dot(None, p) else 2
         assert c % 128 == 0
-        assert N_FORMS * c * p * 4 <= max(_CHUNK_VMEM_BUDGET,
-                                          N_FORMS * 128 * p * 4)
+        assert n_dot * c * p * 4 <= max(_CHUNK_VMEM_BUDGET,
+                                        n_dot * 128 * p * 4)
 
 
 def test_kernel_resolution_bound():
@@ -363,3 +366,58 @@ def test_kernel_resolution_bound():
     with _pytest.raises(ValueError, match="256px"):
         pallas_render_depth(jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces),
                             cam, t, q)
+
+
+def test_depth_layout_parity(key):
+    """The two 1/depth layouts — riding the dot as a third M-row group
+    (depth_in_dot, the small-crop policy) vs epilogue reconstruction
+    d = gamma + alpha*W0 + beta*W1 (the large-crop policy) — must agree on
+    every raster path. Their arithmetic differs (bf16x2 dot of d_a/d_b/d_c
+    coefficients vs f32 scalars against the edge dots), so parity is to
+    float noise, not bitwise. Reference behavior: SciGL renders one depth
+    map regardless of internals (/root/reference/src/RenderContext.jl:42-49)."""
+    from bayesianposeestimation.jl_tpu.ops.pallas_raster import (
+        _resolve_depth_in_dot, antipodal_pair_faces)
+
+    # auto policy: in-dot up to 1024 padded pixels (30x30 flagship), 2-group
+    # reconstruction past it (50x50 = 2560 lanes)
+    assert _resolve_depth_in_dot(None, 1024)
+    assert not _resolve_depth_in_dot(None, 2560)
+
+    mesh = icosphere_mesh(0.06, 2)
+    verts, faces = jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces)
+    t, q = _poses(key, 5)
+
+    def close(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.mean((a > 0) != (b > 0)) < 1e-3
+        both = (a > 0) & (b > 0)
+        np.testing.assert_allclose(a[both], b[both], rtol=2e-4)
+
+    a = pallas_render_depth(verts, faces, CAM, t, q, depth_in_dot=True)
+    assert float((np.asarray(a) > 0).mean()) > 0.005
+    # dense
+    close(a, pallas_render_depth(verts, faces, CAM, t, q, depth_in_dot=False))
+    # band-culled
+    close(a, pallas_render_depth(verts, faces, CAM, t, q, band_cull=True,
+                                 depth_in_dot=False))
+    # compacted
+    close(a, pallas_render_depth(verts, faces, CAM, t, q, compact=True,
+                                 depth_in_dot=False))
+    # paired (incl. multi-chunk region A)
+    fp = antipodal_pair_faces(verts, faces)
+    close(a, pallas_render_depth(verts, fp, CAM, t, q, paired=True,
+                                 depth_in_dot=False))
+    close(a, pallas_render_depth(verts, fp, CAM, t, q, paired=True, chunk=128,
+                                 depth_in_dot=False))
+
+    # fused score path agrees across layouts
+    params = Parameters(width=16, height=16)
+    z = jnp.where(a[0] > 0, a[0], jnp.inf)
+    fn = make_score_fn(params, "association")
+    ell0, so0 = pallas_render_score(verts, faces, CAM, t, q, z, 0.7, fn,
+                                    depth_in_dot=True)
+    ell1, so1 = pallas_render_score(verts, faces, CAM, t, q, z, 0.7, fn,
+                                    depth_in_dot=False)
+    np.testing.assert_allclose(np.asarray(ell0), np.asarray(ell1), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(so0), np.asarray(so1), rtol=1e-4)
