@@ -66,7 +66,27 @@ step_inftime() {
   retry inftime 6000 2 -- python scripts/inference_time.py
 }
 
-steps=${@:-cadval hardvis tracker cropprof inftime}
+step_hyperopt() {
+  # reference-depth searches (VERDICT r4 next #5): 50 trials per sampler,
+  # independent seeds, 6-scene train split, val-replay tie-break. Traced
+  # candidates share one compiled chain per (scene, object), so a trial
+  # costs only sampling walltime.
+  for S in smc_mh mh_sampler mtm_sampler; do
+    retry "hyperopt_$S" 9000 2 -- python scripts/smc_mh_hyperopt.py \
+      --dataset synthcad --testset train --scenes 1 2 3 4 5 6 --trials 50 \
+      --sampler "$S" --experiment-name "hyperopt_cad_r5_$S" \
+      --tiebreak-testset val --tiebreak-scenes 1 2 3
+  done
+}
+
+step_budget() {
+  # de-saturated budget sweep (VERDICT r4 next #6): synthcad scenes where
+  # recall is off the ceiling, per-row CIs, budget_ok gate
+  retry budget 9000 2 -- python scripts/smc_benchmark.py --dataset synthcad \
+    --testset val --scenes 1 2 --experiment-name smc_benchmark_cad
+}
+
+steps=${@:-cadval hardvis tracker cropprof inftime hyperopt budget}
 for s in $steps; do
   "step_$s" || echo "!!! step $s incomplete"
 done
