@@ -284,6 +284,11 @@ def main():
             n_total += nt
         return 1.0 - (n_correct / max(n_total, 1)), n_total
 
+    import pandas as pd
+
+    out = datadir("exp_pro", args.experiment_name, "trials.csv")
+    out.parent.mkdir(parents=True, exist_ok=True)
+
     n_explore = max(6, args.trials // 5)
     history = []
     n_gt_train = 1
@@ -292,14 +297,12 @@ def main():
         cost, n_gt_train = trial_cost(cand, trial, args.scenes, runners,
                                       args.testset)
         history.append(dict(trial=trial, **cand, cost=cost))
+        # write after every trial: a wall-clock cutoff leaves a usable
+        # partial search instead of nothing (the per-trial caches make a
+        # resumed run replay instantly anyway)
+        pd.DataFrame(history).to_csv(out, index=False)
         print(f"trial {trial}: {({k: round(v, 4) for k, v in cand.items()})} "
-              f"-> cost {cost:.4f} (n={n_gt_train})")
-
-    import pandas as pd
-
-    out = datadir("exp_pro", args.experiment_name, "trials.csv")
-    out.parent.mkdir(parents=True, exist_ok=True)
-    pd.DataFrame(history).to_csv(out, index=False)
+              f"-> cost {cost:.4f} (n={n_gt_train})", flush=True)
 
     # --- tie-break by val replay (VERDICT r4 next #5: the winner must beat
     # the runner-up by more than one train gt, or be decided on held-out
